@@ -1,0 +1,221 @@
+"""LinkGraph: the DataFrame-resident graph container.
+
+Spark-first replacement for the reference's ``NeptuneGraph`` wrapper
+(/root/reference/nx_neptune/na_graph.py:56-110), which holds a NetworkX
+graph plus a remote graph id. Here the graph IS two DataFrames:
+
+  vertices(vid: long, name: string)   -- deterministic dense-id dictionary
+  edges(src: long, dst: long [, weight: double])
+
+Undirected graphs follow the reference's convention of materializing
+both directions (two directed edges per undirected edge,
+/root/reference/nx_neptune/clients/opencypher_builder.py:311-321 and
+na_models.py:210-217 ``to_reverse_edge``): algorithms always consume
+``symmetric_edges()``.
+
+Node ids are dense longs assigned deterministically (sorted-name
+row_number), independent of partitioning and cluster size, so results
+reproduce bit-for-bit across runs (SURVEY.md §4 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EDGE_SCHEMA = StructType(
+    [StructField("src", LongType(), False), StructField("dst", LongType(), False)]
+)
+WEIGHTED_EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+VERTEX_SCHEMA = StructType(
+    [StructField("vid", LongType(), False), StructField("name", StringType(), True)]
+)
+
+
+class LinkGraph:
+    """Edges + vertices DataFrames with graph-level metadata.
+
+    Parameters
+    ----------
+    edges : DataFrame(src long, dst long [, weight double])
+        One row per directed edge. For undirected graphs store each
+        edge once; ``symmetric_edges()`` adds the reverse direction.
+    vertices : DataFrame(vid long [, name string]) or None
+        Vertex dictionary. If None it is derived from edge endpoints
+        (isolated vertices are then invisible -- pass explicitly when
+        the graph may have them, mirroring the reference fixture's
+        isolated node X, /root/reference/integ_test/graph_operations/
+        test_algo_page_rank.py:36).
+    directed : bool
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        directed: bool = True,
+    ) -> None:
+        cols = edges.columns
+        assert "src" in cols and "dst" in cols, f"edges needs src/dst, got {cols}"
+        self.spark: SparkSession = edges.sparkSession
+        self.edges = edges
+        self.directed = directed
+        if vertices is None:
+            vertices = (
+                edges.select(F.col("src").alias("vid"))
+                .unionByName(edges.select(F.col("dst").alias("vid")))
+                .distinct()
+                .withColumn("name", F.col("vid").cast("string"))
+            )
+        if "name" not in vertices.columns:
+            vertices = vertices.withColumn("name", F.col("vid").cast("string"))
+        self.vertices = vertices
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def from_edge_pairs(
+        cls,
+        spark: SparkSession,
+        pairs: Iterable[tuple],
+        nodes: Iterable[str] | None = None,
+        directed: bool = True,
+    ) -> "LinkGraph":
+        """Build from python (u, v[, weight]) name pairs (test/fixture path).
+
+        Ids are assigned by sorted node name -> 0..N-1, deterministic.
+        """
+        pairs = [tuple(p) for p in pairs]
+        names = set()
+        for p in pairs:
+            names.add(str(p[0]))
+            names.add(str(p[1]))
+        if nodes is not None:
+            names.update(str(n) for n in nodes)
+        ordered = sorted(names)
+        vid_of = {n: i for i, n in enumerate(ordered)}
+        vrows = [(vid_of[n], n) for n in ordered]
+        vertices = spark.createDataFrame(vrows, VERTEX_SCHEMA)
+        weighted = any(len(p) > 2 for p in pairs)
+        if weighted:
+            erows = [
+                (
+                    vid_of[str(p[0])],
+                    vid_of[str(p[1])],
+                    float(p[2]) if len(p) > 2 else 1.0,
+                )
+                for p in pairs
+            ]
+            edges = spark.createDataFrame(erows, WEIGHTED_EDGE_SCHEMA)
+        else:
+            erows = [(vid_of[str(p[0])], vid_of[str(p[1])]) for p in pairs]
+            edges = spark.createDataFrame(erows, EDGE_SCHEMA)
+        return cls(edges, vertices, directed=directed)
+
+    @classmethod
+    def from_networkx(cls, spark: SparkSession, g) -> "LinkGraph":
+        """Differential-test bridge: NetworkX graph -> LinkGraph.
+
+        Mirrors the reference's NX->Neptune sync direction
+        (/root/reference/nx_neptune/utils/decorators.py:189-233) but lands
+        in DataFrames instead of openCypher batches.
+        """
+        directed = g.is_directed()
+        pairs = []
+        weighted = False
+        for u, v, data in g.edges(data=True):
+            w = data.get("weight")
+            if w is not None:
+                weighted = True
+            pairs.append((str(u), str(v), float(w) if w is not None else 1.0))
+        if not weighted:
+            pairs = [(u, v) for (u, v, _w) in pairs]
+        return cls.from_edge_pairs(
+            spark, pairs, nodes=[str(n) for n in g.nodes()], directed=directed
+        )
+
+    @classmethod
+    def from_vertex_names(
+        cls, spark: SparkSession, named_edges: DataFrame, directed: bool = True
+    ) -> "LinkGraph":
+        """Build from a DataFrame(src_name string, dst_name string) at scale.
+
+        Deterministic dense vids via global sort + row_number. The sort is
+        a one-time dictionary build (acceptable even at 100 TB: it is one
+        shuffle over the *distinct* vertex names, orders of magnitude
+        smaller than the edge table).
+        """
+        names = (
+            named_edges.select(F.col("src_name").alias("name"))
+            .unionByName(named_edges.select(F.col("dst_name").alias("name")))
+            .distinct()
+        )
+        w = Window.orderBy("name")
+        vertices = names.select(
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("vid"), "name"
+        )
+        edges = (
+            named_edges.join(
+                vertices.select(F.col("name").alias("src_name"), F.col("vid").alias("src")),
+                "src_name",
+            )
+            .join(
+                vertices.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst")),
+                "dst_name",
+            )
+            .select("src", "dst")
+        )
+        return cls(edges, vertices, directed=directed)
+
+    # -- views ---------------------------------------------------------
+
+    def symmetric_edges(self) -> DataFrame:
+        """Both-direction edge view (reference double-insert semantics).
+
+        For undirected graphs, parallel/duplicate edges collapse
+        (simple-graph semantics, matching NetworkX Graph).
+        """
+        cols = self.edges.columns
+        if self.directed:
+            return self.edges
+        rev = self.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            *[F.col(c) for c in cols if c not in ("src", "dst")],
+        )
+        both = self.edges.unionByName(rev)
+        if "weight" in cols:
+            # simple graph: one weight per (src,dst); keep max for determinism
+            return both.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        return both.distinct()
+
+    def reversed_edges(self) -> DataFrame:
+        cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        return self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *cols
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    def name_of(self) -> dict[int, str]:
+        """vid -> name dict (driver-side; test/fixture scale only)."""
+        return {r["vid"]: r["name"] for r in self.vertices.collect()}
+
+    def vid_of(self) -> dict[str, int]:
+        return {r["name"]: r["vid"] for r in self.vertices.collect()}

@@ -1,0 +1,162 @@
+"""Connected components (exact, NetworkX-`connected_components` parity).
+
+Required by the north rule as a canonical extension of the reference's
+dispatch surface (SURVEY.md §2.9); the reference delegates no explicit
+CC operator, so NetworkX semantics are the oracle.
+
+Two algorithms, both pure DataFrame joins/aggregates:
+
+  * ``two-phase`` (default): alternating **large-star / small-star**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -- converges in O(log^2 n) rounds regardless of component
+    diameter, the right choice for web graphs whose largest component
+    spans billions of vertices. Each round is two self-join-free
+    group-by-min passes over the (deduplicated) edge set.
+
+  * ``minlabel``: classic min-label propagation (labels' = min(label,
+    min over neighbors)), O(diameter) rounds; simpler plan per round,
+    useful as a cross-check and for low-diameter graphs.
+
+Returns DataFrame(vid long, component long) where component is the
+minimum vid in each component (deterministic representative).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
+
+
+def connected_components(
+    graph: LinkGraph,
+    algorithm: str = "two-phase",
+    max_iter: int = 200,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Exact connected components of the *undirected* view of the graph
+    (weakly connected components for digraphs, matching
+    ``nx.connected_components`` on ``g.to_undirected()``)."""
+    spark = graph.spark
+    vertices = graph.vertices.select("vid")
+    # undirected view regardless of graph.directed (WCC semantics)
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    cp = checkpoint or CheckpointManager(spark, algorithm="connected_components")
+    if algorithm == "two-phase":
+        labels = _star_contraction(edges, cp, max_iter)
+    elif algorithm == "minlabel":
+        labels = _min_label_propagation(vertices, edges, cp, max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # attach isolated vertices (their own component)
+    return (
+        vertices.join(labels, "vid", "left")
+        .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
+    )
+
+
+def _star_contraction(
+    edges: DataFrame, cp: CheckpointManager, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star until the edge set is a stable
+    star forest; then every non-root points at its component minimum.
+
+    large-star: for each u, hang every neighbor v > u onto
+                m = min(N(u) ∪ {u}).
+    small-star: orient edges (hi -> lo); for each hi-node u, hang u and
+                all its lo-neighbors onto m = min(N_lo(u) ∪ {u}).
+    """
+    spark = edges.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame([], "vid long, component long")
+    e = cp.truncate(edges)
+    for it in range(max_iter):
+        # ---- large-star ----
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star ----
+        lo = large.select(F.col("v").alias("hi"), F.col("u").alias("lo"))
+        m2 = lo.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            lo.join(m2, "hi")
+            .select(
+                F.col("lo").alias("a"), F.col("m").alias("b")
+            )  # hang lo-neighbors on m
+            .unionAll(
+                m2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+            )  # hang hi on m
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = cp.checkpoint(small, IterationMetrics(iteration=it))
+        # converged when the edge set is unchanged (star forest reached)
+        changed = (
+            new_e.unionAll(e).groupBy("u", "v").count().where("count = 1").limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # star forest: v (child) -> u (root/min); roots map to themselves
+    child = e.select(F.col("v").alias("vid"), F.col("u").alias("component"))
+    root = e.select(F.col("u").alias("vid"), F.col("u").alias("component")).distinct()
+    return child.unionAll(root).groupBy("vid").agg(F.min("component").alias("component"))
+
+
+def _min_label_propagation(
+    vertices: DataFrame, edges: DataFrame, cp: CheckpointManager, max_iter: int
+) -> DataFrame:
+    spark = edges.sparkSession
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = vertices.select("vid", F.col("vid").alias("component"))
+    labels = cp.truncate(labels)
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.u == labels.vid)
+            .groupBy("v")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vid == nbr_min.v, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = cp.checkpoint(new_labels, IterationMetrics(iteration=it))
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("vid", F.col("component").alias("old")), "vid")
+            .where("component != old")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -1,0 +1,212 @@
+"""PageRank: damped power iteration as a join-aggregate loop.
+
+NetworkX-semantics parity (the reference's oracle -- its integration
+tests compare backend="neptune" against plain NetworkX,
+/root/reference/integ_test/graph_operations/test_algo_page_rank.py):
+
+  * x0 = 1/N (or normalized ``nstart``)
+  * p  = 1/N (or normalized ``personalization``)
+  * dangling mass redistributed by ``dangling`` weights (default: p)
+  * x' = alpha * (contribs + danglesum * dangling_w) + (1-alpha) * p
+  * converge when  sum(|x' - x|) < N * tol   (NetworkX's stop rule)
+
+Parameter surface mirrors the reference wrapper
+(/root/reference/nx_neptune/algorithms/link_analysis/pagerank.py:50-194):
+alpha (dampingFactor, default 0.85, pagerank.py:105-106), max_iter
+(numOfIterations; Neptune default 20 vs NX 100, pagerank.py:108-110),
+tol (tolerance 1e-6, pagerank.py:112-113), weight / edge weights
+(pagerank.py:136-142), personalization -> sourceNodes/sourceWeights
+(pagerank.py:144-162). ``nstart``/``dangling`` are *supported* here
+(the reference warns-and-ignores them, pagerank.py:164-170; we follow
+NetworkX instead because NetworkX is the correctness oracle).
+
+Physical plan per iteration (one shuffle, north rule):
+  contribs = links ⨝ ranks on src   (links pre-partitioned+persisted
+             on src; ranks checkpointed preserving its partitioning)
+           -> groupBy(dst).sum      (map-side partial agg; optional
+             two-phase salted combine for 10^12-edge hub keys)
+  new rank  = broadcast-free projection over vertex_meta ⨝ contribs
+  delta+danglesum computed in ONE action per iteration by joining
+  new/old state (sum |x'-x|, sum x' over dangling vertices).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ..graph import LinkGraph
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from ..plans.skew import salted_sum
+
+
+class PowerIterationFailedConvergence(RuntimeError):
+    pass
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    personalization: Mapping[int, float] | None = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    nstart: Mapping[int, float] | None = None,
+    weight: str | None = "weight",
+    dangling: Mapping[int, float] | None = None,
+    salt_buckets: int = 0,
+    checkpoint: CheckpointManager | None = None,
+    fixed_iterations: int | None = None,
+    raise_on_no_convergence: bool = True,
+) -> DataFrame:
+    """Return DataFrame(vid long, rank double).
+
+    ``fixed_iterations`` disables the tolerance check and runs exactly
+    that many iterations (used for SQL-oracle comparison where the
+    oracle is an unrolled fixed-depth query).
+    """
+    spark = graph.spark
+    edges = graph.symmetric_edges()
+    if weight is not None and weight in edges.columns:
+        edges = edges.select("src", "dst", F.col(weight).cast("double").alias("w"))
+    else:
+        edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
+
+    vertices = graph.vertices.select("vid")
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, rank double")
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # --- static per-vertex metadata: p (teleport), dangling weight, x0 ---
+    meta = vertices
+    meta = _attach_dist(meta, personalization, "p", default=1.0 / n, normalize=True)
+    meta = _attach_dist(meta, dangling, "dw", default=None, normalize=True)
+    if dangling is None:
+        meta = meta.withColumn("dw", F.col("p"))
+    meta = _attach_dist(meta, nstart, "x0", default=1.0 / n, normalize=True)
+
+    # --- static link table: share = w / out_weight_sum(src) --------------
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    links = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .repartition(npart, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dangling_vids = (
+        vertices.join(edges.select("src").distinct(), vertices.vid == F.col("src"), "left_anti")
+        .select("vid")
+    )
+    meta = (
+        meta.join(dangling_vids.withColumn("is_dangling", F.lit(True)), "vid", "left")
+        .withColumn("is_dangling", F.coalesce("is_dangling", F.lit(False)))
+        .repartition(npart, "vid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    meta.count()  # materialize static state once
+
+    # --- init / resume ----------------------------------------------------
+    start_iter = 0
+    ranks = meta.select("vid", F.col("x0").alias("rank"))
+    if checkpoint is not None:
+        resumed = checkpoint.resume()
+        if resumed is not None:
+            state, manifest = resumed
+            ranks = state.select("vid", "rank")
+            start_iter = int(manifest["metrics"]["iteration"]) + 1
+            if manifest.get("complete"):
+                return ranks
+    cp = checkpoint or CheckpointManager(spark, algorithm="pagerank")
+
+    # danglesum over x0 (first iteration needs it before any delta pass)
+    danglesum = (
+        meta.join(ranks, "vid")
+        .where(F.col("is_dangling"))
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .first()[0]
+    )
+
+    limit = fixed_iterations if fixed_iterations is not None else max_iter
+    converged = fixed_iterations is not None
+    it = start_iter
+    for it in range(start_iter, limit):
+        contribs = salted_sum(
+            links.join(ranks, links.src == ranks.vid).select(
+                "dst", (F.col("rank") * F.col("share")).alias("c")
+            ),
+            key="dst",
+            value=F.col("c"),
+            out="contrib",
+            salt_buckets=salt_buckets,
+            salt_from="dst",
+        )
+        new_ranks = (
+            meta.join(contribs, meta.vid == contribs.dst, "left")
+            .select(
+                "vid",
+                "p",
+                "dw",
+                "is_dangling",
+                (
+                    F.lit(alpha)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(danglesum) * F.col("dw"))
+                    + F.lit(1.0 - alpha) * F.col("p")
+                ).alias("rank"),
+            )
+        )
+        metrics = IterationMetrics(iteration=it)
+        new_state = cp.checkpoint(new_ranks.select("vid", "rank"), metrics)
+        # ONE action: L1 delta + next iteration's dangling mass together.
+        row = (
+            new_state.alias("n")
+            .join(ranks.select("vid", F.col("rank").alias("old")), "vid")
+            .join(meta.select("vid", "is_dangling"), "vid")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("dsum"),
+            )
+            .first()
+        )
+        delta, danglesum = float(row["delta"]), float(row["dsum"])
+        metrics.delta = delta
+        ranks = new_state
+        if fixed_iterations is None and delta < n * tol:
+            converged = True
+            cp.finalize(it, metrics)
+            break
+    links.unpersist()
+    meta.unpersist()
+    if not converged and raise_on_no_convergence:
+        raise PowerIterationFailedConvergence(
+            f"pagerank failed to converge in {limit} iterations"
+        )
+    return ranks.select("vid", "rank")
+
+
+def _attach_dist(
+    meta: DataFrame,
+    dist: Mapping[int, float] | None,
+    col: str,
+    default: float | None,
+    normalize: bool,
+) -> DataFrame:
+    """Attach a (possibly sparse) vertex-keyed distribution as a column."""
+    spark = meta.sparkSession
+    if dist is None:
+        if default is None:
+            return meta.withColumn(col, F.lit(None).cast("double"))
+        return meta.withColumn(col, F.lit(default))
+    total = float(sum(dist.values()))
+    if total <= 0:
+        raise ZeroDivisionError(f"{col} distribution sums to zero")
+    rows = [(int(k), float(v) / total) for k, v in dist.items()]
+    ddf = spark.createDataFrame(rows, f"vid long, {col} double")
+    return meta.join(F.broadcast(ddf), "vid", "left").withColumn(
+        col, F.coalesce(F.col(col), F.lit(0.0))
+    )

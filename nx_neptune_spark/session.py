@@ -1,0 +1,67 @@
+"""SparkSession factory for the nx-neptune-spark engine.
+
+Replaces the reference's remote-instance lifecycle management
+(/root/reference/nx_neptune/instance_management.py:65-117 create,
+:319-411 start/stop, :665-712 resize) with local SparkSession
+configuration: "instance size" becomes executor/core counts and
+shuffle partitioning, "provisionedMemory" becomes executor memory.
+
+All defaults target the sandbox (local[N], single JVM) but every knob
+is the one you would set identically on a 1000-executor cluster:
+AQE + skew-join handling, adaptive coalescing, Arrow for pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "nx-neptune-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for iterative graph analytics.
+
+    Scale notes (100 TB intent):
+      * AQE is mandatory: power-law web graphs skew every groupBy(dst);
+        ``skewJoin.enabled`` splits hub partitions at runtime.
+      * ``shuffle.partitions`` should be ~2-3x total cores on a real
+        cluster; here it defaults to SPARK_GRAFT_CPUS or 32.
+      * Arrow is required for the vectorized pandas-UDF extraction path
+        (BASELINE.json input_hint: no per-row Python).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,121 @@
+"""Differential tests vs NetworkX (the reference's own oracle strategy,
+/root/reference/integ_test/graph_operations/test_algo_page_rank.py).
+Acceptance per north rule: allclose(1e-6)."""
+
+import math
+
+import pytest
+
+from oracles import nx_pagerank
+from fixtures_graphs import (
+    barabasi,
+    chain_digraph,
+    gnp_digraph,
+    single_node,
+    two_triangles_bridge,
+)
+from nx_neptune_spark.graph import LinkGraph
+from nx_neptune_spark.operators.pagerank import pagerank
+
+
+def run_spark_pagerank(spark, g, **kw):
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+    result = pagerank(lg, **kw)
+    return {names[r["vid"]]: r["rank"] for r in result.collect()}
+
+
+def assert_allclose(got: dict, want: dict, tol=1e-6):
+    want = {str(k): v for k, v in want.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=tol), (
+            k,
+            got[k],
+            want[k],
+        )
+
+
+def test_chain_digraph(spark):
+    g = chain_digraph()
+    assert_allclose(run_spark_pagerank(spark, g), nx_pagerank(g))
+
+
+def test_two_triangles_undirected(spark):
+    g = two_triangles_bridge()
+    assert_allclose(run_spark_pagerank(spark, g), nx_pagerank(g))
+
+
+def test_weighted(spark):
+    g = two_triangles_bridge(weighted=True)
+    assert_allclose(
+        run_spark_pagerank(spark, g, weight="weight"), nx_pagerank(g, weight="weight")
+    )
+
+
+def test_gnp_200(spark):
+    g = gnp_digraph()
+    assert_allclose(run_spark_pagerank(spark, g), nx_pagerank(g))
+
+
+def test_barabasi_power_law(spark):
+    g = barabasi()
+    assert_allclose(run_spark_pagerank(spark, g), nx_pagerank(g))
+
+
+def test_barabasi_salted(spark):
+    """Skew path: explicit two-phase salted combine must not change values."""
+    g = barabasi()
+    assert_allclose(
+        run_spark_pagerank(spark, g, salt_buckets=8), nx_pagerank(g)
+    )
+
+
+def test_single_node_is_one(spark):
+    # Ref edge case: test_algo_page_rank.py:125-133
+    got = run_spark_pagerank(spark, single_node())
+    assert got == {"A": 1.0}
+
+
+def test_empty_graph(spark):
+    lg = LinkGraph.from_edge_pairs(spark, [], nodes=[])
+    assert pagerank(lg).count() == 0
+
+
+def test_alpha_and_personalization(spark):
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    vid = lg.vid_of()
+    pers_names = {"A": 1.0, "C": 3.0}
+    pers_vids = {vid[k]: v for k, v in pers_names.items()}
+    names = lg.name_of()
+    got = {
+        names[r["vid"]]: r["rank"]
+        for r in pagerank(lg, alpha=0.7, personalization=pers_vids).collect()
+    }
+    want = nx_pagerank(g, alpha=0.7, personalization=pers_names)
+    assert_allclose(got, want)
+
+
+def test_nstart_and_dangling(spark):
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    vid = lg.vid_of()
+    nstart = {n: (i + 1.0) for i, n in enumerate(sorted(g.nodes()))}
+    dang = {"A": 2.0, "B": 1.0}
+    got_df = pagerank(
+        lg,
+        nstart={vid[k]: v for k, v in nstart.items()},
+        dangling={vid[k]: v for k, v in dang.items()},
+    )
+    names = lg.name_of()
+    got = {names[r["vid"]]: r["rank"] for r in got_df.collect()}
+    want = nx_pagerank(g, nstart=nstart, dangling=dang)
+    assert_allclose(got, want)
+
+
+def test_non_convergence_raises(spark):
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    with pytest.raises(Exception):
+        pagerank(lg, max_iter=2, tol=1e-12)
