@@ -1,0 +1,105 @@
+"""Closeness centrality via multi-source BFS.
+
+Parity with /root/reference/nx_neptune/algorithms/centrality/
+closeness.py:44-129: `wf_improved` -> normalize (Wasserman-Faust
+scaling), `num_sources` samples sources for approximation, with the
+int64-max sentinel meaning exact (closeness.py:104-109,
+neptune_constants.py:69). Exact mode is O(V*E) -- feasible on test
+graphs; at web scale use num_sources sampling exactly like the
+reference.
+
+NetworkX semantics (incoming-distance closeness):
+  closeness(u) = (n_reach-1) / sum_dist(u), scaled by
+  (n_reach-1)/(N-1) when wf_improved (default True).
+
+Implementation: run BFS levels from each (sampled) source, all levels
+unioned into one (source, vid, dist) table; aggregate per vid. Each
+BFS level is one join; sources could also be batched into a single
+multi-source frontier carrying a source column -- done here by
+unioning frontiers and keying visited by (source, vid)."""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+from ..plans.checkpoint import CheckpointManager
+
+MAX_INT64 = 9223372036854775807  # reference "exact" sentinel
+
+
+def closeness_centrality(
+    graph: LinkGraph,
+    wf_improved: bool = True,
+    num_sources: int = MAX_INT64,
+    reverse: bool = False,
+) -> DataFrame:
+    """DataFrame(vid long, closeness double).
+
+    Distances follow NetworkX: for digraphs, closeness of u uses
+    *incoming* distance (BFS over reversed edges from u reaching v means
+    v->u paths). We therefore BFS on reversed edges unless `reverse`.
+    """
+    spark = graph.spark
+    cp = CheckpointManager(spark, algorithm="closeness")
+    vertices = graph.vertices.select("vid")
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, closeness double")
+
+    if graph.directed:
+        edges = graph.edges.select("src", "dst")
+        if not reverse:  # incoming distances: walk edges backwards
+            edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        edges = graph.symmetric_edges().select("src", "dst")
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if num_sources < n:
+        # deterministic sample: lowest vids (stable across runs/cluster sizes)
+        sources = vertices.orderBy("vid").limit(int(num_sources))
+    else:
+        sources = vertices
+
+    # multi-source BFS keyed by (source, vid)
+    frontier = sources.select(F.col("vid").alias("source"), F.col("vid").alias("vid"))
+    visited = cp.truncate(frontier.withColumn("dist", F.lit(0)))
+    frontier = cp.truncate(frontier)
+    d = 0
+    while True:
+        nxt = (
+            edges.join(frontier, edges.src == frontier.vid)
+            .select("source", F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited.select("source", "vid"), ["source", "vid"], "left_anti")
+        )
+        nxt = cp.truncate(nxt)
+        if nxt.isEmpty():
+            break
+        d += 1
+        visited = cp.truncate(
+            visited.unionByName(nxt.withColumn("dist", F.lit(d)))
+        )
+        frontier = nxt
+    edges.unpersist()
+
+    # closeness from the perspective of the BFS *source*: distances from
+    # source s reach v; for incoming closeness we flipped edges, so the
+    # distance table is dist(v -> s in original graph). Aggregate per source.
+    agg = visited.groupBy("source").agg(
+        F.sum("dist").alias("sum_dist"), (F.count("*") - 1).alias("reach")
+    )
+    scale = (
+        (F.col("reach") / F.col("sum_dist"))
+        * (F.col("reach") / F.lit(float(n - 1)) if wf_improved and n > 1 else F.lit(1.0))
+    )
+    out = agg.select(
+        F.col("source").alias("vid"),
+        F.when(F.col("sum_dist") > 0, scale).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+    return (
+        vertices.join(out, "vid", "left")
+        .select("vid", F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
+    )

@@ -1,0 +1,93 @@
+"""Triangle counting via degree-ordered edge joins (exact,
+NetworkX-`triangles` parity; north-rule required, SURVEY.md §2.9).
+
+Classic MapReduce formulation (Suri & Vassilvitskii, "Counting
+triangles and the curse of the last reducer", WWW'11): orient each
+undirected edge from the lower-(degree, id) endpoint to the higher one.
+Every vertex then has out-degree O(sqrt(m)), so the wedge join
+e1(u→v) ⨝ e2(v→w) is bounded even on power-law graphs -- this ordering
+IS the skew handling (a hub's edges point *into* it, so the hub never
+fans out wedges).
+
+    wedges(u,v,w) = oriented ⨝ oriented on v
+    triangles     = wedges ⨝ oriented on (u,w)
+
+All joins are plain Catalyst shuffled hash/sort-merge joins; per-vertex
+counts come from exploding each triangle's three corners.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def _oriented_edges(graph: LinkGraph) -> DataFrame:
+    """Canonical undirected edge set oriented by (degree, vid)."""
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("vid"))
+        .unionAll(edges.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .count()
+        .withColumnRenamed("count", "deg")
+    )
+    e = (
+        edges.join(deg.select(F.col("vid").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # orient from lower (deg, vid) to higher (deg, vid)
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+
+def triangle_list(graph: LinkGraph) -> DataFrame:
+    """DataFrame(x long, y long, z long): each triangle once (x<y<z)."""
+    o = _oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = o.select(F.col("u").alias("u"), F.col("v").alias("v"))
+    e2 = o.select(F.col("u").alias("v2"), F.col("v").alias("w"))
+    wedges = e1.join(e2, e1.v == e2.v2).select("u", "v", "w")
+    closing = o.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    out = tris.select(
+        F.least("u", "v", "w").alias("x"),
+        F.greatest(
+            F.least("u", "v"), F.least(F.greatest("u", "v"), F.col("w"))
+        ).alias("y"),
+        F.greatest("u", "v", "w").alias("z"),
+    )
+    return out
+
+
+def triangle_count(graph: LinkGraph) -> DataFrame:
+    """Per-vertex triangle counts: DataFrame(vid long, triangles long).
+    Matches ``nx.triangles`` (vertices in no triangle -> 0)."""
+    tris = triangle_list(graph)
+    corners = (
+        tris.select(F.col("x").alias("vid"))
+        .unionAll(tris.select(F.col("y").alias("vid")))
+        .unionAll(tris.select(F.col("z").alias("vid")))
+    )
+    counts = corners.groupBy("vid").agg(F.count("*").alias("triangles"))
+    return (
+        graph.vertices.select("vid")
+        .join(counts, "vid", "left")
+        .select("vid", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def total_triangles(graph: LinkGraph) -> int:
+    return triangle_list(graph).count()

@@ -1,0 +1,64 @@
+"""Connected components vs NetworkX (exact, north rule)."""
+
+import networkx as nx
+import pytest
+
+from fixtures_graphs import barabasi, chain_digraph, gnp_digraph, two_triangles_bridge
+from nx_neptune_spark.graph import LinkGraph
+from nx_neptune_spark.operators.components import connected_components
+
+
+def comp_sets(spark, g, algorithm):
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+    rows = connected_components(lg, algorithm=algorithm).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(names[r["vid"]])
+    return set(frozenset(s) for s in by_comp.values())
+
+
+def nx_comp_sets(g):
+    und = g.to_undirected() if g.is_directed() else g
+    return set(frozenset(str(n) for n in c) for c in nx.connected_components(und))
+
+
+@pytest.mark.parametrize("algorithm", ["two-phase", "minlabel"])
+def test_chain_with_isolate(spark, algorithm):
+    g = chain_digraph()  # 2 weak components (isolated X)
+    assert comp_sets(spark, g, algorithm) == nx_comp_sets(g)
+
+
+@pytest.mark.parametrize("algorithm", ["two-phase", "minlabel"])
+def test_two_triangles_single_component(spark, algorithm):
+    g = two_triangles_bridge()
+    assert comp_sets(spark, g, algorithm) == nx_comp_sets(g)
+
+
+@pytest.mark.parametrize("algorithm", ["two-phase", "minlabel"])
+def test_gnp(spark, algorithm):
+    g = gnp_digraph()
+    assert comp_sets(spark, g, algorithm) == nx_comp_sets(g)
+
+
+def test_barabasi_two_phase(spark):
+    g = barabasi()
+    assert comp_sets(spark, g, "two-phase") == nx_comp_sets(g)
+
+
+def test_many_small_components(spark):
+    g = nx.Graph()
+    for i in range(0, 120, 4):
+        g.add_edge(i, i + 1)
+        g.add_edge(i + 1, i + 2)
+        g.add_edge(i + 2, i + 3)
+    assert comp_sets(spark, g, "two-phase") == nx_comp_sets(g)
+
+
+def test_component_label_is_min_vid(spark):
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    rows = {r["vid"]: r["component"] for r in connected_components(lg).collect()}
+    for vid, comp in rows.items():
+        assert comp <= vid
+        assert rows[comp] == comp
