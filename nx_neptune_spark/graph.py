@@ -47,6 +47,26 @@ VERTEX_SCHEMA = StructType(
 )
 
 
+def assign_dense_ids(names: DataFrame, col: str = "name") -> DataFrame:
+    """Deterministic dense ids 0..N-1 by sorted value -> DataFrame(vid, name).
+
+    Scalable variant of ``row_number() over (order by name)`` (which
+    funnels all rows through one partition): range-repartition by the
+    sort key, sort within partitions, then ``zipWithIndex`` (two passes,
+    fully distributed). The global index equals the total-sort position
+    regardless of the sampled range boundaries, so ids are identical
+    across runs and cluster sizes (SURVEY.md §4 item 5).
+    """
+    spark = names.sparkSession
+    npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    arranged = names.select(col).distinct().repartitionByRange(npart, col).sortWithinPartitions(col)
+    out_schema = StructType(
+        [StructField("vid", LongType(), False), StructField("name", StringType(), True)]
+    )
+    rdd = arranged.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[1], t[0]))
+    return spark.createDataFrame(rdd, out_schema)
+
+
 class LinkGraph:
     """Edges + vertices DataFrames with graph-level metadata.
 
@@ -165,12 +185,36 @@ class LinkGraph:
             .unionByName(named_edges.select(F.col("dst_name").alias("name")))
             .distinct()
         )
-        w = Window.orderBy("name")
-        vertices = names.select(
-            (F.row_number().over(w) - F.lit(1)).cast("long").alias("vid"), "name"
-        )
+        vertices = assign_dense_ids(names)
         edges = (
             named_edges.join(
+                vertices.select(F.col("name").alias("src_name"), F.col("vid").alias("src")),
+                "src_name",
+            )
+            .join(
+                vertices.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst")),
+                "dst_name",
+            )
+            .select("src", "dst")
+        )
+        return cls(edges, vertices, directed=directed)
+
+    @classmethod
+    def from_pages(cls, pages: DataFrame, directed: bool = True) -> "LinkGraph":
+        """The north-rule input path: Common-Crawl-style page table
+        (url, warc_ts, html, text, lang) -> LinkGraph.
+
+        html -> links via the vectorized pandas-UDF extractor, then the
+        deterministic url -> vid dictionary. Links pointing outside the
+        crawl (urls not in the page table) are dropped (inner join),
+        matching a closed-world web-graph build.
+        """
+        from .functions.extraction import pages_to_link_pairs
+
+        named = pages_to_link_pairs(pages)
+        vertices = assign_dense_ids(pages.select(F.col("url").alias("name")))
+        edges = (
+            named.join(
                 vertices.select(F.col("name").alias("src_name"), F.col("vid").alias("src")),
                 "src_name",
             )

@@ -175,6 +175,7 @@ def pagerank(
         )
         delta, danglesum = float(row["delta"]), float(row["dsum"])
         metrics.delta = delta
+        cp.update_metrics(metrics)
         ranks = new_state
         if fixed_iterations is None and delta < n * tol:
             converged = True

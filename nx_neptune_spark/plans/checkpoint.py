@@ -125,6 +125,21 @@ class CheckpointManager:
         self._write_manifest(d, manifest)
         return out
 
+    def update_metrics(self, metrics: IterationMetrics) -> None:
+        """Rewrite the iteration manifest once post-checkpoint metrics
+        (convergence delta, changed-count) are known."""
+        if self.checkpoint_dir is None or metrics.iteration % self.every != 0:
+            return
+        d = self.iter_dir(metrics.iteration)
+        mpath = os.path.join(d, MANIFEST_NAME)
+        if not os.path.exists(mpath):
+            return
+        with open(mpath) as f:
+            manifest = json.load(f)
+        metrics.wall_secs = time.time() - self._t0
+        manifest["metrics"] = metrics.to_dict()
+        self._write_manifest(d, manifest)
+
     def finalize(self, iteration: int, metrics: IterationMetrics | None = None) -> None:
         """Mark the run converged in the final manifest."""
         if self.checkpoint_dir is None:

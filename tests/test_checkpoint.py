@@ -1,0 +1,72 @@
+"""Resumability: kill after iteration k, resume from the manifest,
+assert identical final scores (SURVEY.md §5.2 item 4)."""
+
+import json
+import os
+
+from fixtures_graphs import gnp_digraph
+from oracles import nx_pagerank
+from nx_neptune_spark.graph import LinkGraph
+from nx_neptune_spark.operators.pagerank import pagerank
+from nx_neptune_spark.plans.checkpoint import CheckpointManager
+
+
+def ranks_dict(df, names):
+    return {names[r["vid"]]: r["rank"] for r in df.collect()}
+
+
+def test_resume_mid_run_identical(spark, tmp_path):
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+    ckdir = str(tmp_path / "ck")
+
+    # full run, durable checkpoints every iteration
+    cp_full = CheckpointManager(spark, ckdir, run_id="full", algorithm="pagerank")
+    full = ranks_dict(pagerank(lg, checkpoint=cp_full), names)
+
+    # interrupted run: stop hard after 3 iterations (simulated kill)
+    cp_a = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="pagerank")
+    try:
+        pagerank(lg, checkpoint=cp_a, fixed_iterations=3, raise_on_no_convergence=False)
+    except Exception:
+        pass
+    m = cp_a.latest_manifest()
+    assert m is not None and m["metrics"]["iteration"] == 2
+    assert m["partition_lineage"], "manifest must carry partition lineage"
+
+    # resume with a fresh manager pointing at the same run dir
+    cp_b = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="pagerank")
+    resumed = ranks_dict(pagerank(lg, checkpoint=cp_b), names)
+
+    for k in full:
+        assert abs(full[k] - resumed[k]) < 1e-12, (k, full[k], resumed[k])
+
+    # final manifest marked complete
+    m2 = cp_b.latest_manifest()
+    assert m2["complete"] is True
+
+    # oracle sanity on the resumed result
+    want = nx_pagerank(g)
+    for k, v in want.items():
+        assert abs(resumed[str(k)] - v) < 1e-6
+
+
+def test_manifest_contents(spark, tmp_path):
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    ckdir = str(tmp_path / "ck2")
+    cp = CheckpointManager(
+        spark, ckdir, run_id="r1", algorithm="pagerank", params={"alpha": 0.85}
+    )
+    pagerank(lg, checkpoint=cp)
+    run_dir = os.path.join(ckdir, "r1")
+    iters = sorted(d for d in os.listdir(run_dir) if d.startswith("iter_"))
+    assert len(iters) >= 2
+    with open(os.path.join(run_dir, iters[0], "manifest.json")) as f:
+        man = json.load(f)
+    assert man["algorithm"] == "pagerank"
+    assert man["params"] == {"alpha": 0.85}
+    assert man["metrics"]["shuffle_partitions"] is not None
+    assert man["metrics"]["delta"] is None or man["metrics"]["delta"] >= 0
+    assert all(p["file"].startswith("part-") for p in man["partition_lineage"])
