@@ -80,10 +80,15 @@ def language_id(text: Column) -> Column:
     marker hits. Deterministic tie-break: highest count, then language
     code order."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def marker_hits(lang: str):
+        markers = LANG_MARKERS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
     scored = F.array(
         *[
             F.struct(
-                F.size(F.filter(toks, lambda t, lang=lang: t.isin(LANG_MARKERS[lang]))).alias("hits"),
+                marker_hits(lang).alias("hits"),
                 F.lit(idx).alias("ord"),
                 F.lit(lang).alias("lang"),
             )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY/driver requirement for training-data pipelines):
+
+  * brute_force_topk -- exact cosine top-k: broadcast the (small) query
+    set against the corpus, dot products via zip_with/aggregate
+    (JVM-side higher-order functions, no UDF), per-query top-k via a
+    window. The baseline and the verifier for the approximate path.
+
+  * lsh_topk -- random-hyperplane LSH: embeddings are quantized to
+    integers (round(x*1000)) and hashed against deterministic integer
+    hyperplanes, so bucket assignment is exact integer math --
+    reproducible across engines and cluster sizes (no float-sum
+    ordering hazards). Candidates = same bucket in any of L tables;
+    exact cosine re-rank within candidates. At 10^9 vectors this is the
+    scale path: bucket join instead of cross join.
+
+  * near_duplicate_pairs -- embedding-cosine near-dup (pairs above a
+    cosine threshold) via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Q_SCALE = 1000  # quantization for integer LSH
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cosine, rank). Self-matches
+    (same id) are excluded. Queries are broadcast (they are the small
+    side by construction)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, plane: int) -> list[int]:
+    """Deterministic integer hyperplane in [-500, 500]^dim (pseudo-random
+    via multiplicative hashing of (table, plane, i); reproducible in SQL)."""
+    return [
+        ((((i + 1) * 2654435761 + (table * 97 + plane) * 40503 + 12345) % 1009) - 504)
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket_keys(
+    vec: Column, dim: int, tables: int = 4, planes: int = 8
+) -> Column:
+    """Array of `tables` bucket keys; key = bit-string of hyperplane
+    signs over the *quantized* vector (exact integer dot products)."""
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
+    keys = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            hp = _hyperplane(dim, t, p)
+            s = F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(v) for v in hp]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(F.lit(f"t{t}:"), *bits))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: same output shape as brute_force_topk but only
+    scoring candidates that share an LSH bucket in any table."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    )
+    cand = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def near_duplicate_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a, b, cosine >= threshold),
+    candidates restricted to shared LSH buckets."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    )
+    pairs = (
+        c.alias("l")
+        .join(c.alias("r"), "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup modes over a documents table (id, text), all expressed as
+Catalyst plans (no Python in the data path) with portable hashing so
+each has an exact DuckDB SQL oracle:
+
+  * exact            -- md5 content-hash groupBy
+  * minhash_lsh      -- word-shingle MinHash signatures, banded LSH
+                        bucketing, candidate join, exact-Jaccard verify
+  * ngram_jaccard    -- shared-shingle candidate generation + exact
+                        Jaccard (the no-approximation baseline)
+  * simhash          -- 16-bit SimHash fingerprints; near-dups = pairs
+                        sharing a band half with small Hamming distance
+  * embedding cosine -- see operators/ann.py (near_duplicate_pairs)
+
+Scale notes: every pipeline is shingle-explode -> aggregate -> join;
+the hot shingle problem (stopword shingles shared by millions of docs)
+is the classic skew risk, so candidate generation caps bucket width
+(``max_bucket`` -- buckets larger than the cap are dropped exactly like
+production MinHash pipelines drop stop-shingles); all joins are
+key-partitioned, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import P_MOD, hash60, minhash_perm
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 4 bands x 3 rows
+
+
+def word_shingles(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Array of k-word shingles (space-joined), lowercase. Documents
+    shorter than k words yield a single whole-document shingle."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    (fingerprint, keep_id = min id, dup_count). Single hash-aggregate."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    max_bucket: int = 100,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact shingle Jaccard.
+
+    Candidate generation: documents sharing at least one shingle
+    (buckets wider than ``max_bucket`` dropped as stop-shingles), or a
+    caller-provided candidate DataFrame(a, b). Output: (a, b, jaccard)
+    with a < b, jaccard >= threshold.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if candidates is None:
+        bucket_ok = (
+            sh.groupBy("shingle").agg(F.count("*").alias("w")).where(F.col("w") <= max_bucket)
+        )
+        s = sh.join(bucket_ok.select("shingle"), "shingle")
+        candidates = (
+            s.alias("l")
+            .join(s.alias("r"), "shingle")
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+        )
+    inter = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .join(candidates, ["a", "b"], "left_semi")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]): one aggregate pass -- every
+    permutation is a min() over the same exploded shingle set."""
+    sh = _doc_shingles(docs, id_col, text_col, k).withColumn(
+        "h", hash60(F.col("shingle")) % F.lit(P_MOD)
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}") for j in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs (a, b, jaccard).
+
+    Signature split into ``bands`` bands of num_hashes/bands rows; a
+    pair is a candidate iff some band matches exactly (bucket join on
+    the band hash -- never an all-pairs comparison). Candidates are
+    then verified with exact Jaccard when ``verify``.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bkey"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    return jaccard_pairs(
+        docs, id_col, text_col, k, threshold=threshold, candidates=cand
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash long): token-frequency-weighted SimHash.
+
+    bit_i(simhash) = sign of sum over tokens( freq * (2*bit_i(h)-1) ),
+    with the portable 60-bit token hash. One explode + one aggregate.
+    Ties (sum == 0) resolve to bit 0 for determinism.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    th = toks.groupBy("id", "tok").agg(F.count("*").alias("freq")).withColumn(
+        "h", hash60(F.col("tok"))
+    )
+    bit_sums = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("freq")
+                * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = bit_sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one 8-bit half
+    (pigeonhole: hamming<=max_hamming<8 implies one half equal), then
+    exact Hamming filter via bit_count(xor). Output (a, b, hamming)."""
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    half = bits // 2
+    keyed = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash") % F.lit(1 << half)).alias("key")),
+                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("simhash"), half).alias("key")),
+            )
+        ).alias("pk"),
+    ).select("id", "simhash", F.col("pk.part").alias("part"), F.col("pk.key").alias("key"))
+    pairs = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), ["part", "key"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

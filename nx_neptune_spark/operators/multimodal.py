@@ -1,0 +1,177 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed (clearly marked) behind an import-try; everything Spark-side --
+schema, partitioning, Arrow batch shape, mapInPandas plumbing -- is
+real and tested. The reference's closest analog is its Bedrock
+embedding batch pipeline (/root/reference/nx_neptune/utils/utils.py:
+208-311: per-row service calls in batches of 300), which we replace
+with Arrow-batched mapInPandas.
+
+Pattern for every op: mapInPandas(fn, schema) over batches; the fn
+works on pandas columns, never per-row Python in the Spark plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _try_real_decode(buf: bytes):
+    """Real decode path -- unavailable in this container (no PIL/cv2).
+
+    STUB: raises NotImplementedError when an image library is absent;
+    callers fall back to the deterministic fake decoder below.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        img = Image.open(io.BytesIO(buf))
+        return img.width, img.height, img.format or "UNKNOWN"
+    except ImportError:
+        raise NotImplementedError("image decode requires PIL (not in container)")
+
+
+def _fake_dims(n_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic fake decode: dims derived from byte length only."""
+    width = 64 + (n_bytes % 449)
+    height = 64 + ((n_bytes * 31) % 353)
+    return width.astype("int32"), height.astype("int32")
+
+
+def image_metadata(media: DataFrame, id_col: str = "media_id", bin_col: str = "media") -> DataFrame:
+    """(media_id, n_bytes, width, height, format) via mapInPandas.
+
+    Decode is the stub above: real when PIL exists, deterministic fake
+    (length-derived dims, format='FAKE') otherwise.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf[bin_col].map(lambda b: len(b) if b is not None else 0).to_numpy(
+                dtype="int64"
+            )
+            try:
+                dims = [_try_real_decode(b) for b in pdf[bin_col]]
+                width = np.array([d[0] for d in dims], dtype="int32")
+                height = np.array([d[1] for d in dims], dtype="int32")
+                fmt = [d[2] for d in dims]
+            except NotImplementedError:
+                width, height = _fake_dims(n_bytes)
+                fmt = ["FAKE"] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(dtype="int64"),
+                    "n_bytes": n_bytes,
+                    "width": width,
+                    "height": height,
+                    "format": fmt,
+                }
+            )
+
+    return media.select(id_col, bin_col).mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+def feature_extract(
+    media: DataFrame, dim: int = 16, id_col: str = "media_id", bin_col: str = "media"
+) -> DataFrame:
+    """Deterministic fake feature vector per blob (stand-in for a model
+    encoder): dim floats derived from a rolling byte checksum. Shows the
+    real Arrow batch shape (binary in, array<float> out)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[bin_col]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = np.array(
+                    [int(arr[i::dim].sum() % 1000) for i in range(dim)], dtype=np.float32
+                )
+                feats.append((acc / 1000.0).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(dtype="int64"), "feature": feats}
+            )
+
+    return media.select(id_col, bin_col).mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    bin_col: str = "media",
+) -> DataFrame:
+    """Video frame-sampling stub: emits (media_id, frame_idx, offset)
+    rows -- one per sampled 'frame' position. Real frame decode would
+    need ffmpeg (absent); the Spark-side explode/batch plumbing is real.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("offset", LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[bin_col]):
+                n = len(b) if b is not None else 0
+                count = min(max_frames, max(0, n // every_n_bytes))
+                for i in range(count):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    offs.append(i * every_n_bytes)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "offset": pd.Series(offs, dtype="int64")}
+            )
+
+    return media.select(id_col, bin_col).mapInPandas(fn, schema)
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as opaque media blobs (the
+    sandbox has no real image table; the binary-column plumbing is what
+    is under test)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"), F.encode(F.col(text_col), "UTF-8").alias("media")
+    )

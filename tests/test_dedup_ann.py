@@ -1,0 +1,193 @@
+"""Dedup family + ANN + multimodal + text-analysis tests.
+
+Oracles here are python re-computations (numpy / pure python) on
+collected data; the DuckDB SQL oracles live in __spark_entry__.py and
+are exercised by test_entry_contract.py.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nx_neptune_spark.functions.hashing import P_MOD
+from nx_neptune_spark.functions.text import (
+    bpe_token_count,
+    content_fingerprint,
+    language_id,
+    quality_score,
+    whitespace_token_count,
+)
+from nx_neptune_spark.operators.ann import brute_force_topk, lsh_topk, near_duplicate_pairs
+from nx_neptune_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from nx_neptune_spark.operators.multimodal import (
+    documents_as_media,
+    feature_extract,
+    frame_sample,
+    image_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "spark engines content completely different about"),  # permuted 3
+        (5, "one two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def py_shingles(t, k=3):
+    toks = t.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard(a, b, k=3):
+    sa, sb = py_shingles(a, k), py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(spark, docs):
+    rows = exact_duplicates(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in rows}
+    assert by_keep[0] == 2  # docs 0 and 2
+    assert sum(by_keep.values()) == 6
+    assert len(rows) == 5
+
+
+def test_jaccard_pairs_matches_python(spark, docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.0).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert (0, 2) in got and math.isclose(got[(0, 2)], 1.0)
+    for (a, b), j in got.items():
+        assert math.isclose(j, py_jaccard(texts[a], texts[b]), abs_tol=1e-12)
+
+
+def test_minhash_signature_shape_and_range(spark, docs):
+    rows = minhash_signatures(docs).collect()
+    assert all(len(r["sig"]) == 12 for r in rows)
+    assert all(0 <= v < P_MOD for r in rows for v in r["sig"])
+    sigs = {r["id"]: tuple(r["sig"]) for r in rows}
+    assert sigs[0] == sigs[2]  # exact dups -> identical signatures
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # high-jaccard near-dup
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in pairs.items():
+        assert math.isclose(j, py_jaccard(texts[a], texts[b]), abs_tol=1e-12)
+        assert j >= 0.4
+
+
+def test_simhash(spark, docs):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[2]  # exact dups
+    assert fps[3] == fps[4]  # permutation-invariant (freq-weighted tokens)
+    assert all(0 <= v < (1 << 16) for v in fps.values())
+    pairs = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 2) in pairs and (3, 4) in pairs
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, queries, k=5).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for qid in range(3):
+        qv = data[qid]
+        sims = {
+            vid: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in data.items()
+            if vid != qid
+        }
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_q = sorted(
+            [(r["vec_id"], r["cosine"]) for r in got if r["query_id"] == qid],
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert [v for v, _ in got_q] == [v for v, _ in want]
+        for (gv, gs), (wv, ws) in zip(got_q, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9)
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=3, tables=6, planes=4).collect()
+    exact_s = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_s = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_s & approx_s) / len(exact_s)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # approximate scores that do appear must be exact cosines
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            assert math.isclose(r["cosine"], ex[key], abs_tol=1e-9)
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = near_duplicate_pairs(emb, dim=64, threshold=0.8).collect()
+    for r in pairs:
+        assert r["cosine"] >= 0.8 and r["a"] < r["b"]
+
+
+def test_multimodal_stubs(spark, docs):
+    media = documents_as_media(docs)
+    meta = {r["media_id"]: r for r in image_metadata(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, r in meta.items():
+        n = len(texts[mid].encode())
+        assert r["n_bytes"] == n
+        assert r["width"] == 64 + (n % 449)
+        assert r["format"] == "FAKE"
+    feats = {r["media_id"]: r["feature"] for r in feature_extract(media, dim=8).collect()}
+    assert all(len(v) == 8 for v in feats.values())
+    frames = frame_sample(media, every_n_bytes=10, max_frames=3).collect()
+    assert all(f["offset"] == f["frame_idx"] * 10 for f in frames)
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("wc"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+        quality_score(F.col("text")).alias("q"),
+        language_id(F.col("text")).alias("lang"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["wc"] == 9
+    assert by_id[0]["bpe"] == 9
+    assert by_id[0]["lang"] == "en"  # 'the' x2, 'over'
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+    assert by_id[0]["fp"] == by_id[2]["fp"]
+    import hashlib
+
+    assert by_id[0]["fp"] == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
