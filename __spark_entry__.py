@@ -1,38 +1,861 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spark queries come from the nx_neptune_spark engine; each has a DuckDB
+oracle over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+Graph queries run over *derived deterministic edge tables* built from
+``documents.doc_id`` with pure modular arithmetic, so the identical
+graph is constructible in ANSI SQL:
+
+  pr graph    : i -> (i*7+3)%N, (i*13+5)%N, (i+1)%N   (out-deg>=1, no dangling)
+  chain graph : undirected i -- i+7                    (7 components = residues)
+  clique graph: undirected 5-cliques by i - i%5
+  circulant   : undirected i -- i+1, i -- i+2 (mod N)  (N triangles)
+
+Floating-point outputs are rounded (6-8 decimals) in BOTH engines;
+money sums go through DECIMAL casts so they are exact in both.
+Iterative algorithms run a FIXED iteration count matching an unrolled
+SQL oracle. Spark count-typed columns are cast to long to match
+DuckDB's BIGINT counts.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nx_neptune_spark.functions.hashing import (  # noqa: E402
+    A_MUL,
+    B_MUL,
+    P_MOD,
+    hash60_sql,
+)
+from nx_neptune_spark.graph import LinkGraph  # noqa: E402
+
+ALPHA = 0.85
+PR_ITERS = 20
+LPA_ITERS = 4
+BFS_MAX_DEPTH = 10
+CHAIN_STRIDE = 7
+CLOSENESS_N = 120
+NUM_HASHES = 12
+BANDS = 4
+SHINGLE_K = 3
+JACCARD_T = 0.2
+LSH_JACCARD_T = 0.35
+COS_T = 0.35
+TOPK = 5
+N_QUERIES = 3
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+LANG_MARKERS = {
+    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ids_n(spark: SparkSession, sf_dir: str):
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("i"))
+    return ids, ids.count()
+
+
+def _pr_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    ids, n = _ids_n(spark, sf_dir)
+    e = None
+    for expr in [
+        (F.col("i") * 7 + 3) % n,
+        (F.col("i") * 13 + 5) % n,
+        (F.col("i") + 1) % n,
+    ]:
+        part = ids.select(F.col("i").alias("src"), expr.cast("long").alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    edges = e.where(F.col("dst") != F.col("src")).distinct()
+    vertices = ids.select(F.col("i").alias("vid"))
+    return LinkGraph(edges, vertices, directed=True)
+
+
+def _chain_graph(spark: SparkSession, sf_dir: str, limit: int | None = None) -> LinkGraph:
+    ids, n = _ids_n(spark, sf_dir)
+    if limit is not None:
+        ids = ids.where(F.col("i") < limit)
+        n = limit
+    edges = ids.where(F.col("i") + CHAIN_STRIDE < n).select(
+        F.col("i").alias("src"), (F.col("i") + CHAIN_STRIDE).alias("dst")
+    )
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
+
+
+def _clique_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    ids, _ = _ids_n(spark, sf_dir)
+    g = ids.select("i", (F.col("i") - F.col("i") % 5).alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    edges = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")))
+        .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    )
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
+
+
+def _circulant_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    ids, n = _ids_n(spark, sf_dir)
+    e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    e2 = ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pagerank_web(spark, sf_dir):
+    from nx_neptune_spark.operators.pagerank import pagerank
+
+    g = _pr_graph(spark, sf_dir)
+    pr = pagerank(g, alpha=ALPHA, fixed_iterations=PR_ITERS)
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_connected_components(spark, sf_dir):
+    from nx_neptune_spark.operators.components import connected_components
+
+    g = _chain_graph(spark, sf_dir)
+    return connected_components(g, algorithm="two-phase")
+
+
+def q_label_propagation(spark, sf_dir):
+    from nx_neptune_spark.operators.label_propagation import label_propagation
+
+    g = _clique_graph(spark, sf_dir)
+    return label_propagation(g, max_iterations=LPA_ITERS)
+
+
+def q_triangle_count(spark, sf_dir):
+    from nx_neptune_spark.operators.triangles import triangle_count
+
+    g = _circulant_graph(spark, sf_dir)
+    return triangle_count(g).select("vid", F.col("triangles").cast("long").alias("triangles"))
+
+
+def q_degree_centrality(spark, sf_dir):
+    from nx_neptune_spark.operators.degree import degree_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    return degree_centrality(g, direction="both").select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
+def q_bfs_levels(spark, sf_dir):
+    from nx_neptune_spark.operators.bfs import bfs_levels
+
+    g = _pr_graph(spark, sf_dir)
+    return bfs_levels(g, [0], max_depth=BFS_MAX_DEPTH)
+
+
+def q_bfs_layers(spark, sf_dir):
+    from nx_neptune_spark.operators.bfs import bfs_layers
+
+    g = _pr_graph(spark, sf_dir)
+    # layer sizes (arrays avoided for stable cross-engine hashing);
+    # cap depth via levels to mirror the SQL oracle
+    from nx_neptune_spark.operators.bfs import bfs_levels
+
+    lv = bfs_levels(g, [0], max_depth=BFS_MAX_DEPTH)
+    return lv.groupBy("level").agg(F.count("*").cast("long").alias("n_members"))
+
+
+def q_descendants_at_distance(spark, sf_dir):
+    from nx_neptune_spark.operators.bfs import descendants_at_distance
+
+    g = _pr_graph(spark, sf_dir)
+    return descendants_at_distance(g, 0, 3)
+
+
+def q_closeness(spark, sf_dir):
+    from nx_neptune_spark.operators.closeness import closeness_centrality
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    return closeness_centrality(g, wf_improved=True).select(
+        "vid", F.round("closeness", 8).alias("closeness")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(spark, sf_dir), k=SHINGLE_K, threshold=JACCARD_T, max_bucket=100
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), k=SHINGLE_K, num_hashes=NUM_HASHES)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at("sig", j + 1).alias(f"m{j}") for j in range(NUM_HASHES)],
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=LSH_JACCARD_T,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from nx_neptune_spark.functions.text import bpe_token_count, whitespace_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_quality_language(spark, sf_dir):
+    from nx_neptune_spark.functions.text import language_id, quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        language_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from nx_neptune_spark.functions.text import content_fingerprint, shape_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        content_fingerprint(F.col("text")).alias("fp"),
+        shape_fingerprint(F.col("text")).alias("shape_fp"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from nx_neptune_spark.operators.ann import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=TOPK).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    # approximate path: no SQL oracle (bucketing is the point); rows-only
+    from nx_neptune_spark.operators.ann import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=TOPK, tables=6, planes=4).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    # exact pairs (brute force) so the SQL oracle is total
+    from nx_neptune_spark.operators.ann import cosine
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= COS_T)
+        .select("a", "b", F.round("c", 6).alias("cosine"))
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    # LSH-bucketed scale path: rows-only check (approximate recall)
+    from nx_neptune_spark.operators.ann import near_duplicate_pairs
+
+    return near_duplicate_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=COS_T, tables=6, planes=4
+    ).select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from nx_neptune_spark.operators.multimodal import documents_as_media, image_metadata
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return image_metadata(media)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")).alias("sum_value"),
+    )
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_disc"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_top_users_by_value(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("user_id", "total", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_pages_pagerank(spark, sf_dir):
+    """Flagship north-rule pipeline: synthetic Common-Crawl-style pages
+    -> pandas-UDF link extraction -> dense ids -> PageRank -> scores
+    joined back to urls. No SQL oracle (pandas-UDF extraction is not
+    SQL-expressible); rows-only check + dedicated pytest goldens."""
+    from nx_neptune_spark.operators.pagerank import pagerank
+    from nx_neptune_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300)
+    g = LinkGraph.from_pages(pages)
+    pr = pagerank(g, alpha=ALPHA, fixed_iterations=10)
+    return (
+        pr.join(g.vertices, "vid")
+        .select(F.col("name").alias("url"), F.round("rank", 8).alias("rank"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pagerank_web(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pagerank_web": q_pagerank_web,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "degree_centrality": q_degree_centrality,
+        "bfs_levels": q_bfs_levels,
+        "bfs_layers": q_bfs_layers,
+        "descendants_at_distance": q_descendants_at_distance,
+        "closeness_centrality": q_closeness,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_language": q_quality_language,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+        "nation_revenue": q_nation_revenue,
+        "top_users_by_value": q_top_users_by_value,
+        "pages_pagerank": q_pages_pagerank,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_GRAPH_CTES = f"""
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i*7+3) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i*13+5) % c FROM ids, n
+    UNION ALL SELECT i, (i+1) % c FROM ids, n
+  ) q WHERE dst <> src
+)
+"""
+
+_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                               i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+       FROM toks WHERE len(t) >= {SHINGLE_K})
+"""
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(","),
+        f""",
+outd AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+pr0 AS (SELECT i AS vid, 1.0 / c AS r FROM ids, n)""",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+pr{k} AS (
+  SELECT v.i AS vid, {1 - ALPHA} / n.c + {ALPHA} * coalesce(s.contrib, 0.0) AS r
+  FROM ids v CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r / o.cnt) AS contrib
+    FROM pr{k - 1} p JOIN edges e ON e.src = p.vid JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = v.i
+)"""
+        )
+    parts.append(f"\nSELECT vid, round(r, 8) AS rank FROM pr{PR_ITERS}")
+    return "".join(parts)
+
+
+def _cc_sql() -> str:
+    return f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids, n WHERE i + {CHAIN_STRIDE} < c),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+reach(vid, lab) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN sym e ON e.src = r.vid
+)
+SELECT vid, min(lab) AS component FROM reach GROUP BY vid
+"""
+
+
+def _lpa_sql() -> str:
+    head = """
+WITH
+ids AS (SELECT doc_id AS i FROM documents),
+grp AS (SELECT i, i - (i % 5) AS g FROM ids),
+sym AS (SELECT a.i AS src, b.i AS dst FROM grp a JOIN grp b ON a.g = b.g AND a.i <> b.i),
+lab0 AS (SELECT i AS vid, i AS label FROM ids)"""
+    parts = [head]
+    iters = 3
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+msg{k} AS (
+  SELECT e.dst AS vid, l.label, 1.0 AS w FROM lab{k - 1} l JOIN sym e ON e.src = l.vid
+  UNION ALL SELECT vid, label, 1.0 FROM lab{k - 1}
+),
+vote{k} AS (SELECT vid, label, sum(w) AS wt FROM msg{k} GROUP BY vid, label),
+lab{k} AS (
+  SELECT vid, label FROM (
+    SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY wt DESC, label ASC) AS rn
+    FROM vote{k}
+  ) z WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT vid, label FROM lab{iters}")
+    return "".join(parts)
+
+
+def _triangles_sql() -> str:
+    return """
+WITH
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+circ AS (
+  SELECT i AS u, (i + 1) % c AS v FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n
+),
+ce AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM circ WHERE u <> v),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ce e1 JOIN ce e2 ON e2.u = e1.v JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT d.i AS vid, count(cn.vid) AS triangles
+FROM ids d LEFT JOIN corners cn ON cn.vid = d.i GROUP BY d.i
+"""
+
+
+def _degree_sql() -> str:
+    return f"""
+WITH {_GRAPH_CTES.strip()},
+ends AS (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT vid, count(*) AS d FROM ends GROUP BY vid)
+SELECT i AS vid, round(coalesce(deg.d, 0) / (n.c - 1.0), 8) AS centrality
+FROM ids CROSS JOIN n LEFT JOIN deg ON deg.vid = ids.i
+"""
+
+
+def _bfs_sql(select: str) -> str:
+    return f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i*7+3) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i*13+5) % c FROM ids, n
+    UNION ALL SELECT i, (i+1) % c FROM ids, n
+  ) q WHERE dst <> src
+),
+lv(vid, level) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, l.level + 1 FROM lv l JOIN edges e ON e.src = l.vid
+  WHERE l.level < {BFS_MAX_DEPTH}
+),
+ml AS (SELECT vid, min(level) AS level FROM lv GROUP BY vid)
+{select}
+"""
+
+
+def _closeness_sql() -> str:
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+d(s, v, dist) AS (
+  SELECT i, i, 0 FROM ids
+  UNION
+  SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v WHERE dd.dist < 40
+),
+md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v),
+ag AS (SELECT s, sum(dist) AS sd, count(*) - 1 AS reach FROM md GROUP BY s)
+SELECT s AS vid,
+       round(CASE WHEN sd > 0 THEN (reach / sd) * (reach / {float(CLOSENESS_N - 1)})
+                  ELSE 0.0 END, 8) AS closeness
+FROM ag
+"""
+
+
+def _minhash_cols_sql() -> list[str]:
+    cols = []
+    for j in range(NUM_HASHES):
+        a = (j * A_MUL + 1) % P_MOD
+        b = (j * B_MUL + 7) % P_MOD
+        cols.append(f"min(({a} * h + {b}) % {P_MOD}) AS m{j}")
+    return cols
+
+
+def _minhash_sig_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTES.strip()},
+hsh AS (SELECT id, ({hash60_sql('shingle')} % {P_MOD}) AS h FROM sh)
+SELECT id AS doc_id, {', '.join(_minhash_cols_sql())} FROM hsh GROUP BY id
+"""
+
+
+def _jaccard_core_sql(cand_cte: str, threshold: float) -> str:
+    """Shared tail: exact jaccard over candidate pairs."""
+    return f"""
+sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON r.shingle = l.shingle AND l.id < r.id
+  JOIN cand c ON c.a = l.id AND c.b = r.id
+  GROUP BY l.id, r.id
+)
+SELECT a, b, round(i / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
+WHERE i / (sa.s + sb.s - i) >= {threshold}
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTES.strip()},
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM sh l JOIN ok USING (shingle) JOIN sh r ON r.shingle = l.shingle AND l.id < r.id
+),
+{_jaccard_core_sql('cand', JACCARD_T).strip()}
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    rows = NUM_HASHES // BANDS
+    band_selects = []
+    for b in range(BANDS):
+        cols = ", ".join(f"m{b * rows + j}" for j in range(rows))
+        band_selects.append(
+            f"SELECT doc_id AS id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig"
+        )
+    bands_cte = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTES.strip()},
+hsh AS (SELECT id, ({hash60_sql('shingle')} % {P_MOD}) AS h FROM sh),
+sig AS (SELECT id AS doc_id, {', '.join(_minhash_cols_sql())} FROM hsh GROUP BY id),
+bands AS ({bands_cte}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r ON r.band = l.band AND r.bkey = l.bkey AND l.id < r.id
+),
+{_jaccard_core_sql('cand', LSH_JACCARD_T).strip()}
+"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(freq * (((h >> {i}) & 1) * 2 - 1)) AS s{i}" for i in range(16)
+    )
+    combine = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    return f"""
+WITH
+tk AS (SELECT doc_id AS id,
+              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       FROM documents),
+tf AS (SELECT id, tok, count(*) AS freq FROM tk GROUP BY id, tok),
+th AS (SELECT id, freq, {hash60_sql('tok')} AS h FROM tf),
+bs AS (SELECT id,
+    {bit_sums}
+  FROM th GROUP BY id)
+SELECT id AS doc_id, CAST({combine} AS BIGINT) AS simhash FROM bs
+"""
+
+
+def _quality_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    lang_hits = {
+        lang: f"len(list_filter(t, x -> x IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        for lang in sorted(LANG_MARKERS)
+    }
+    lang_case = (
+        "CASE WHEN greatest("
+        + ", ".join(f"h_{lg}" for lg in sorted(LANG_MARKERS))
+        + ") = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN h_{lg} >= greatest("
+            + ", ".join(f"h_{o}" for o in sorted(LANG_MARKERS) if o != lg)
+            + f") THEN '{lg}'"
+            for lg in sorted(LANG_MARKERS)
+        )
+        + " END"
+    )
+    return f"""
+WITH
+base AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+                regexp_split_to_array(trim(text), '\\s+') AS rt
+         FROM documents),
+feat AS (
+  SELECT doc_id,
+    least(length(text) / 500.0, 1.0) AS len_score,
+    list_aggregate(list_transform(rt, x -> length(x)), 'sum') / greatest(len(rt), 1) AS mwl,
+    len(list_filter(t, x -> x IN ({sw}))) / greatest(len(t), 1) AS swr,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS pr,
+    {lang_hits['de']} AS h_de, {lang_hits['en']} AS h_en,
+    {lang_hits['es']} AS h_es, {lang_hits['fr']} AS h_fr
+  FROM base
+)
+SELECT doc_id,
+  round((least(length(d.text) / 500.0, 1.0)
+       + CASE WHEN mwl >= 3 AND mwl <= 9 THEN 1.0 ELSE 0.5 END
+       + least(swr * 4, 1.0)
+       + greatest(1.0 - pr * 5, 0.0)) / 4, 6) AS quality,
+  {lang_case} AS lang_guess
+FROM feat JOIN documents d USING (doc_id)
+"""
+
+
+_EMB_CTES = """
+ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM ev GROUP BY vec_id)
+"""
+
+
+def _ann_topk_sql() -> str:
+    return f"""
+WITH {_EMB_CTES.strip()},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dp
+  FROM ev a JOIN ev b ON b.i = a.i
+  WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, dots.vec_id AS vec_id, dp / (na.nv * nb.nv) AS cosine
+  FROM dots JOIN nrm na ON na.vec_id = dots.query_id JOIN nrm nb ON nb.vec_id = dots.vec_id
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) z WHERE rank <= {TOPK}
+"""
+
+
+def _near_dup_sql() -> str:
+    return f"""
+WITH {_EMB_CTES.strip()},
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dp
+  FROM ev a JOIN ev b ON b.i = a.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(dp / (na.nv * nb.nv), 6) AS cosine
+FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+WHERE dp / (na.nv * nb.nv) >= {COS_T}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pagerank_web": _pagerank_sql(),
+        "connected_components": _cc_sql(),
+        "label_propagation": _lpa_sql(),
+        "triangle_count": _triangles_sql(),
+        "degree_centrality": _degree_sql(),
+        "bfs_levels": _bfs_sql("SELECT vid, level FROM ml"),
+        "bfs_layers": _bfs_sql(
+            "SELECT level, count(*) AS n_members FROM ml GROUP BY level"
+        ),
+        "descendants_at_distance": _bfs_sql("SELECT vid FROM ml WHERE level = 3"),
+        "closeness_centrality": _closeness_sql(),
+        "dedup_exact": (
+            "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
+            " count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "minhash_signatures": _minhash_sig_sql(),
+        "minhash_lsh": _minhash_lsh_sql(),
+        "simhash": _simhash_sql(),
+        "token_stats": (
+            "SELECT doc_id,"
+            " len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,"
+            f" len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,"
+            " length(text) AS n_chars_actual FROM documents"
+        ),
+        "quality_language": _quality_sql(),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(text) AS fp,"
+            " md5(array_to_string(list_sort(list_distinct("
+            "regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS shape_fp"
+            " FROM documents"
+        ),
+        "ann_topk": _ann_topk_sql(),
+        "embedding_near_dup": _near_dup_sql(),
+        "multimodal_meta": (
+            "SELECT doc_id AS media_id,"
+            " octet_length(encode(text)) AS n_bytes,"
+            " CAST(64 + (octet_length(encode(text)) % 449) AS INT) AS width,"
+            " CAST(64 + ((octet_length(encode(text)) * 31) % 353) AS INT) AS height,"
+            " 'FAKE' AS format FROM documents"
+        ),
+        "events_hourly": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,"
+            " count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,"
+            " CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+            "   AS sum_disc_price,"
+            " CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,"
+            " count(*) AS n"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, count(*) AS n_orders,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "top_users_by_value": (
+            "SELECT user_id, total, n, rnk FROM ("
+            " SELECT user_id,"
+            "  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,"
+            "  count(*) AS n,"
+            "  row_number() OVER (ORDER BY CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            "    DESC, user_id ASC) AS rnk"
+            " FROM events GROUP BY user_id) z WHERE rnk <= 20"
+        ),
+    }

@@ -1,0 +1,132 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+North-star metric (BASELINE.json): edges-processed/sec per PageRank
+iteration. The PageRank input is the full north-rule pipeline at bench
+scale: synthetic Common-Crawl-style pages -> pandas-UDF link extraction
+-> dense-id dictionary -> power iteration. Page count scales with sf
+(2M pages/sf => ~9M edges at sf=1).
+
+Also times a representative slice of the entry queries (dedup, ANN,
+components, relational) on the driver-provided tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  SPARK_GRAFT_PAGES    override page count (else 2_000_000 * sf)
+  SPARK_GRAFT_PR_ITERS fixed PageRank iterations (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(2_000_000 * sf))))
+    pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
+
+    from nx_neptune_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="nx-neptune-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    import __spark_entry__ as entry
+    from nx_neptune_spark.graph import LinkGraph
+    from nx_neptune_spark.operators.pagerank import pagerank
+    from nx_neptune_spark.sources.pages import generate_pages
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- flagship: pages -> extraction -> edges ---------------------------
+    t0 = time.time()
+    pages = generate_pages(spark, n_pages).persist()
+    n_rows = pages.count()
+    g = LinkGraph.from_pages(pages)
+    g.edges = g.edges.persist()
+    n_edges = g.edges.count()
+    g.vertices = g.vertices.persist()
+    g.vertices.count()
+    timings["extract_build_graph"] = time.time() - t0
+    extra["pages"] = n_rows
+    extra["edges"] = n_edges
+    extra["extract_pages_per_sec"] = round(n_rows / timings["extract_build_graph"], 1)
+
+    # -- north star: PageRank edges/sec/iteration --------------------------
+    t0 = time.time()
+    pr = pagerank(g, fixed_iterations=pr_iters)
+    pr.select("rank").agg({"rank": "sum"}).collect()
+    pr_secs = time.time() - t0
+    timings["pagerank_10iter"] = pr_secs
+    extra["pagerank_iters"] = pr_iters
+    extra["edges_per_sec_per_iter"] = round(n_edges * pr_iters / pr_secs, 1)
+
+    # -- other graph ops on the same web graph ------------------------------
+    from nx_neptune_spark.operators.components import connected_components
+    from nx_neptune_spark.operators.degree import degree_centrality
+    from nx_neptune_spark.operators.triangles import triangle_count
+
+    t0 = time.time()
+    connected_components(g).groupBy("component").count().count()
+    timings["connected_components"] = time.time() - t0
+
+    t0 = time.time()
+    triangle_count(g).agg({"triangles": "sum"}).collect()
+    timings["triangle_count"] = time.time() - t0
+
+    t0 = time.time()
+    degree_centrality(g).count()
+    timings["degree_centrality"] = time.time() - t0
+    pages.unpersist()
+    g.edges.unpersist()
+    g.vertices.unpersist()
+
+    # -- entry-query slice on driver tables ---------------------------------
+    qs = entry.queries()
+    for name in [
+        "dedup_exact",
+        "minhash_lsh",
+        "simhash",
+        "ann_topk",
+        "token_stats",
+        "lineitem_pricing",
+        "events_hourly",
+    ]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "edges-processed/sec per PageRank iteration (north star); "
+        "value = total headline wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""NetworkX-flavored API layer (reference wrapper-signature parity).
+
+Mirrors the reference's algorithm wrappers (SURVEY.md §2.C): same
+parameter names, same defaults, warn-and-ignore for parameters the
+engine does not support (the reference's pattern,
+/root/reference/nx_neptune/algorithms/util/algorithm_utils.py:26-38),
+and NetworkX-native return shapes (dict / dict_values / generators)
+via the to_*_result adapters.
+
+The heavy lifting stays in operators/*; this module only adapts
+signatures and result shapes, exactly like the reference's thin
+wrappers over remote calls.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame
+
+from .graph import LinkGraph
+
+
+def _warn_unsupported(algo: str, **params: Any) -> None:
+    """Reference behavior for unsupported params (algorithm_utils.py:26-38)."""
+    for name, value in params.items():
+        if value is not None:
+            warnings.warn(
+                f"Parameter `{name}` is not supported by {algo} and will be ignored.",
+                stacklevel=3,
+            )
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    personalization: dict | None = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    nstart: dict | None = None,
+    weight: str | None = "weight",
+    dangling: dict | None = None,
+    vertex_label: str | None = None,
+    edge_labels: list | None = None,
+    concurrency: int | None = None,
+    write_property: str | None = None,
+) -> dict:
+    """NetworkX-shaped pagerank: returns {node_name: rank}.
+
+    Signature parity: /root/reference/nx_neptune/algorithms/link_analysis/
+    pagerank.py:50-194. Unlike the reference (which warns-and-ignores
+    nstart/dangling, pagerank.py:164-170), this engine supports them,
+    since NetworkX is the correctness oracle. vertex_label/edge_labels/
+    concurrency are remote-engine knobs with no local meaning.
+    """
+    from .operators.pagerank import pagerank as _pr
+
+    _warn_unsupported(
+        "pagerank",
+        vertex_label=vertex_label,
+        edge_labels=edge_labels,
+        concurrency=concurrency,
+    )
+    name_of = graph.name_of()
+    vid_of = {v: k for k, v in name_of.items()}
+
+    def to_vids(d: dict | None) -> dict | None:
+        if d is None:
+            return None
+        return {vid_of[str(k)]: v for k, v in d.items()}
+
+    result = _pr(
+        graph,
+        alpha=alpha,
+        personalization=to_vids(personalization),
+        max_iter=max_iter,
+        tol=tol,
+        nstart=to_vids(nstart),
+        weight=weight,
+        dangling=to_vids(dangling),
+    )
+    if write_property is not None:
+        # mutate-variant analog (reference writeProperty, pagerank.py:176-183):
+        # persist scores as a vertex property column instead of returning
+        graph.vertices = graph.vertices.join(
+            result.withColumnRenamed("rank", write_property), "vid", "left"
+        )
+        return {}
+    return {name_of[r["vid"]]: r["rank"] for r in result.collect()}
+
+
+def degree_centrality(graph: LinkGraph, direction: str = "both", **ignored) -> dict:
+    """{node: degree/(n-1)} (reference degree_centrality.py:41-194)."""
+    from .operators.degree import degree_centrality as _dc
+
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: r["centrality"]
+        for r in _dc(graph, direction=direction).collect()
+    }
+
+
+def in_degree_centrality(graph: LinkGraph, **kw) -> dict:
+    return degree_centrality(graph, direction="in", **kw)
+
+
+def out_degree_centrality(graph: LinkGraph, **kw) -> dict:
+    return degree_centrality(graph, direction="out", **kw)
+
+
+def closeness_centrality(
+    graph: LinkGraph,
+    u: str | None = None,
+    distance: str | None = None,
+    wf_improved: bool = True,
+    num_sources: int | None = None,
+    **ignored,
+) -> dict | float:
+    """Reference closeness.py:44-129; `distance` unsupported there too
+    (closeness.py:89)."""
+    from .operators.closeness import MAX_INT64, closeness_centrality as _cc
+
+    _warn_unsupported("closeness_centrality", distance=distance)
+    name_of = graph.name_of()
+    res = {
+        name_of[r["vid"]]: r["closeness"]
+        for r in _cc(
+            graph,
+            wf_improved=wf_improved,
+            num_sources=num_sources if num_sources is not None else MAX_INT64,
+        ).collect()
+    }
+    if u is not None:
+        return res[str(u)]
+    return res
+
+
+def label_propagation_communities(
+    graph: LinkGraph, max_iterations: int = 20, weight: str | None = None, seed=None, **ignored
+) -> Iterable[set]:
+    """dict_values-of-sets shape (reference label_propagation.py:356-362);
+    `seed` ignored exactly like the reference (:103,176)."""
+    from .operators.label_propagation import label_propagation as _lpa
+
+    _warn_unsupported("label_propagation_communities", seed=seed)
+    name_of = graph.name_of()
+    labels = _lpa(graph, max_iterations=max_iterations, weight=weight)
+    comms: dict[int, set] = {}
+    for r in labels.collect():
+        comms.setdefault(r["label"], set()).add(name_of[r["vid"]])
+    return comms.values()
+
+
+asyn_lpa_communities = label_propagation_communities
+fast_label_propagation_communities = label_propagation_communities
+
+
+def connected_components(graph: LinkGraph) -> Iterable[set]:
+    """Generator of sets, NetworkX shape."""
+    from .operators.components import connected_components as _cc
+
+    name_of = graph.name_of()
+    comps: dict[int, set] = {}
+    for r in _cc(graph).collect():
+        comps.setdefault(r["component"], set()).add(name_of[r["vid"]])
+    return iter(comps.values())
+
+
+def triangles(graph: LinkGraph, nodes=None) -> dict:
+    from .operators.triangles import triangle_count as _tc
+
+    name_of = graph.name_of()
+    res = {name_of[r["vid"]]: r["triangles"] for r in _tc(graph).collect()}
+    if nodes is not None:
+        return {str(n): res[str(n)] for n in nodes}
+    return res
+
+
+def bfs_edges(graph: LinkGraph, source: str, reverse: bool = False,
+              depth_limit: int | None = None, **ignored):
+    """Generator of (parent, child) pairs (reference bfs.py:41-130)."""
+    from .operators.bfs import bfs_parents as _bp
+
+    vid_of = graph.vid_of()
+    name_of = graph.name_of()
+    rows = _bp(graph, vid_of[str(source)], depth_limit=depth_limit, reverse=reverse).collect()
+    for r in sorted(rows, key=lambda r: (r["parent"], r["child"])):
+        yield (name_of[r["parent"]], name_of[r["child"]])
+
+
+def descendants_at_distance(graph: LinkGraph, source: str, distance: int, **ignored) -> set:
+    from .operators.bfs import descendants_at_distance as _dd
+
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    return {name_of[r["vid"]] for r in _dd(graph, vid_of[str(source)], distance).collect()}
+
+
+def bfs_layers(graph: LinkGraph, sources, **ignored):
+    """Generator of per-level node-name lists (reference bfs.py:188-236)."""
+    from .operators.bfs import bfs_layers as _bl
+
+    if isinstance(sources, str):
+        sources = [sources]
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    rows = _bl(graph, [vid_of[str(s)] for s in sources]).collect()
+    for r in rows:
+        yield [name_of[m] for m in r["members"]]
