@@ -8,7 +8,8 @@ Graph queries run over *derived deterministic edge tables* built from
 ``documents.doc_id`` with pure modular arithmetic, so the identical
 graph is constructible in ANSI SQL:
 
-  pr graph    : i -> (i*7+3)%N, (i*13+5)%N, (i+1)%N   (out-deg>=1, no dangling)
+  pr graph    : i -> (i*i+1)%N, (i*7+3)%N, (i+1)%N    (out-deg>=1, no
+                dangling; i*i+1 is non-bijective -> skewed in-degrees)
   chain graph : undirected i -- i+7                    (7 components = residues)
   clique graph: undirected 5-cliques by i - i%5
   circulant   : undirected i -- i+1, i -- i+2 (mod N)  (N triangles)
@@ -81,10 +82,13 @@ def _ids_n(spark: SparkSession, sf_dir: str):
 
 def _pr_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     ids, n = _ids_n(spark, sf_dir)
+    # (i*i+1)%n is non-bijective -> skewed in-degrees (0..many), so
+    # PageRank is non-uniform and the oracle is a meaningful check;
+    # (i+1)%n guarantees out-degree >= 1 (no dangling mass).
     e = None
     for expr in [
+        (F.col("i") * F.col("i") + 1) % n,
         (F.col("i") * 7 + 3) % n,
-        (F.col("i") * 13 + 5) % n,
         (F.col("i") + 1) % n,
     ]:
         part = ids.select(F.col("i").alias("src"), expr.cast("long").alias("dst"))
@@ -453,8 +457,8 @@ n AS (SELECT count(*) AS c FROM documents),
 ids AS (SELECT doc_id AS i FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (i*7+3) % c AS dst FROM ids, n
-    UNION ALL SELECT i, (i*13+5) % c FROM ids, n
+    SELECT i AS src, (i*i+1) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i*7+3) % c FROM ids, n
     UNION ALL SELECT i, (i+1) % c FROM ids, n
   ) q WHERE dst <> src
 )
@@ -577,8 +581,8 @@ n AS (SELECT count(*) AS c FROM documents),
 ids AS (SELECT doc_id AS i FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (i*7+3) % c AS dst FROM ids, n
-    UNION ALL SELECT i, (i*13+5) % c FROM ids, n
+    SELECT i AS src, (i*i+1) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i*7+3) % c FROM ids, n
     UNION ALL SELECT i, (i+1) % c FROM ids, n
   ) q WHERE dst <> src
 ),
