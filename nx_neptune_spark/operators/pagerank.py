@@ -122,16 +122,60 @@ def pagerank(
                 return ranks
     cp = checkpoint or CheckpointManager(spark, algorithm="pagerank")
 
-    # danglesum over x0 (first iteration needs it before any delta pass)
-    danglesum = (
-        meta.join(ranks, "vid")
-        .where(F.col("is_dangling"))
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        .first()[0]
-    )
+    # danglesum over x0 (first iteration needs it before any delta pass);
+    # dangling-free graphs skip the extra aggregation action entirely
+    has_dangling = meta.where(F.col("is_dangling")).limit(1).count() > 0
+    danglesum = 0.0
+    if has_dangling:
+        danglesum = (
+            meta.join(ranks, "vid")
+            .where(F.col("is_dangling"))
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
 
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None
+
+    # Fast path: fixed depth + no dangling mass + no durable checkpoints
+    # -> build the whole multi-iteration plan lazily (each iteration is
+    # one shuffle stage) with lineage truncation every few iterations.
+    # Zero per-iteration driver actions; Spark schedules the stages
+    # back-to-back in a single job.
+    lazy_ok = (
+        fixed_iterations is not None
+        and not has_dangling
+        and (checkpoint is None or checkpoint.checkpoint_dir is None)
+    )
+    if lazy_ok:
+        for it in range(start_iter, limit):
+            contribs = salted_sum(
+                links.join(ranks, links.src == ranks.vid).select(
+                    "dst", (F.col("rank") * F.col("share")).alias("c")
+                ),
+                key="dst",
+                value=F.col("c"),
+                out="contrib",
+                salt_buckets=salt_buckets,
+                salt_from="dst",
+            )
+            ranks = (
+                meta.join(contribs, meta.vid == contribs.dst, "left")
+                .select(
+                    "vid",
+                    (
+                        F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(1.0 - alpha) * F.col("p")
+                    ).alias("rank"),
+                )
+            )
+            if (it + 1) % 5 == 0 and it != limit - 1:
+                ranks = cp.truncate(ranks)
+        out = ranks.select("vid", "rank").localCheckpoint(eager=True)
+        links.unpersist()
+        meta.unpersist()
+        return out
+
     it = start_iter
     for it in range(start_iter, limit):
         contribs = salted_sum(
@@ -160,6 +204,11 @@ def pagerank(
         )
         metrics = IterationMetrics(iteration=it)
         new_state = cp.checkpoint(new_ranks.select("vid", "rank"), metrics)
+        if fixed_iterations is not None and not has_dangling:
+            # fixed-depth, dangling-free: no convergence check needed --
+            # the eager checkpoint is the only action this iteration
+            ranks = new_state
+            continue
         # ONE action: L1 delta + next iteration's dangling mass together.
         row = (
             new_state.alias("n")

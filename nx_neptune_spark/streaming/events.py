@@ -28,6 +28,8 @@ def windowed_event_counts(
     """Tumbling-window counts + value sums per key with late-data
     watermarking. Output: (window_start, window_end, key, n, sum_value).
     """
+    # watermarks need TIMESTAMP (LTZ); parquet sources often carry NTZ
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
@@ -50,6 +52,7 @@ def streaming_edge_ingest(
     edge emission per (src,dst) while state is retained)."""
     from ..functions.extraction import extract_links
 
+    pages = pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         pages.withWatermark(ts_col, watermark)
         .select(
