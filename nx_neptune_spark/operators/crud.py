@@ -1,0 +1,190 @@
+"""Graph CRUD: the reference's openCypher mutation surface as
+DataFrame set operations (SURVEY.md §2.B).
+
+The reference generates parameterized openCypher per mutation
+(/root/reference/nx_neptune/clients/opencypher_builder.py): insert_node
+:199-228, batch insert_nodes :231-254, insert_edge with MERGE upsert
+:257-295, batch insert_edges :298-321 (undirected -> both directions,
+:311-321), update_node/edge :355-436, delete_node/edge :439-487,
+clear :490-506. Here every mutation is a pure DataFrame transform
+returning a NEW LinkGraph (immutable snapshots -- the natural Spark
+shape; Iceberg MERGE/DELETE would make them table mutations).
+
+Properties follow the reference's schemaless dict model
+(na_models.py:24-41) as map<string,string> columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def _with_props(df: DataFrame, props_col: str = "properties") -> DataFrame:
+    if props_col not in df.columns:
+        return df.withColumn(
+            props_col, F.create_map().cast("map<string,string>")
+        )
+    return df
+
+
+# -- B1/B2: scans -----------------------------------------------------------
+
+def match_all_nodes(graph: LinkGraph) -> DataFrame:
+    """MATCH (n) RETURN n (opencypher_builder.py:163-175)."""
+    return graph.vertices
+
+
+def match_all_edges(graph: LinkGraph) -> DataFrame:
+    """MATCH (a)-[r]->(b) RETURN r (opencypher_builder.py:178-196)."""
+    return graph.edges
+
+
+# -- B3/B4: node insert ------------------------------------------------------
+
+def insert_nodes(graph: LinkGraph, names: Iterable[str] | DataFrame) -> LinkGraph:
+    """Batch node insert (UNWIND-batched in the reference,
+    opencypher_builder.py:231-254). New vids continue after max(vid)."""
+    spark = graph.spark
+    if isinstance(names, DataFrame):
+        new_names = names.select(F.col(names.columns[0]).alias("name"))
+    else:
+        new_names = spark.createDataFrame([(str(n),) for n in names], "name string")
+    new_names = new_names.distinct().join(
+        graph.vertices.select("name"), "name", "left_anti"
+    )
+    base = graph.vertices.agg(F.coalesce(F.max("vid"), F.lit(-1))).first()[0]
+    w_rows = new_names.rdd.zipWithIndex().map(lambda t: (base + 1 + t[1], t[0][0]))
+    added = spark.createDataFrame(w_rows, "vid long, name string")
+    return LinkGraph(
+        graph.edges, graph.vertices.unionByName(added), directed=graph.directed
+    )
+
+
+# -- B5/B6: edge insert (MERGE upsert semantics) -----------------------------
+
+def insert_edges(
+    graph: LinkGraph, pairs: Iterable[tuple] | DataFrame, directed: bool | None = None
+) -> LinkGraph:
+    """Edge upsert: MERGE semantics (no duplicate (src,dst) rows,
+    opencypher_builder.py:257-295); undirected graphs materialize both
+    directions like the reference (:311-321) via symmetric_edges()."""
+    spark = graph.spark
+    if isinstance(pairs, DataFrame):
+        new_named = pairs.select(
+            F.col(pairs.columns[0]).alias("src_name"),
+            F.col(pairs.columns[1]).alias("dst_name"),
+        )
+    else:
+        new_named = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], "src_name string, dst_name string"
+        )
+    # auto-create endpoint nodes (MERGE (a) MERGE (b) behavior)
+    g = insert_nodes(
+        graph,
+        new_named.select(F.col("src_name").alias("name"))
+        .unionByName(new_named.select(F.col("dst_name").alias("name")))
+        .distinct(),
+    )
+    v = g.vertices
+    new_edges = (
+        new_named.join(
+            v.select(F.col("name").alias("src_name"), F.col("vid").alias("src")),
+            "src_name",
+        )
+        .join(
+            v.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst")),
+            "dst_name",
+        )
+        .select("src", "dst")
+    )
+    cols = [c for c in g.edges.columns if c in ("src", "dst")]
+    merged = g.edges.select(*cols).unionByName(new_edges).dropDuplicates(["src", "dst"])
+    return LinkGraph(merged, g.vertices, directed=graph.directed)
+
+
+# -- B7/B8: property updates -------------------------------------------------
+
+def update_nodes(
+    graph: LinkGraph, names: list[str], key: str, value: str
+) -> LinkGraph:
+    """SET n.key = value for an id list (OR-chain in the reference,
+    opencypher_builder.py:355-387). Properties live in a
+    map<string,string> column, created on demand."""
+    v = _with_props(graph.vertices)
+    cond = F.col("name").isin([str(n) for n in names])
+    updated = v.withColumn(
+        "properties",
+        F.when(
+            cond,
+            F.map_concat(
+                F.map_filter(F.col("properties"), lambda k, _: k != F.lit(key)),
+                F.create_map(F.lit(key), F.lit(str(value))),
+            ),
+        ).otherwise(F.col("properties")),
+    )
+    return LinkGraph(graph.edges, updated, directed=graph.directed)
+
+
+def update_edges(
+    graph: LinkGraph, pairs: list[tuple], key: str, value: str
+) -> LinkGraph:
+    """SET r.key = value for (src_name, dst_name) pairs
+    (opencypher_builder.py:390-436)."""
+    vid_of = graph.vid_of()
+    idpairs = [(vid_of[str(a)], vid_of[str(b)]) for a, b in pairs]
+    e = _with_props(graph.edges)
+    cond = F.lit(False)
+    for a, b in idpairs:  # OR-chain, mirroring the reference's WHERE
+        cond = cond | ((F.col("src") == F.lit(int(a))) & (F.col("dst") == F.lit(int(b))))
+    updated = e.withColumn(
+        "properties",
+        F.when(
+            cond,
+            F.map_concat(
+                F.map_filter(F.col("properties"), lambda k, _: k != F.lit(key)),
+                F.create_map(F.lit(key), F.lit(str(value))),
+            ),
+        ).otherwise(F.col("properties")),
+    )
+    return LinkGraph(updated, graph.vertices, directed=graph.directed)
+
+
+# -- B9/B10/B11: deletes ------------------------------------------------------
+
+def delete_nodes(graph: LinkGraph, names: list[str]) -> LinkGraph:
+    """DETACH-delete semantics: nodes plus their incident edges
+    (opencypher_builder.py:439-458)."""
+    doomed = graph.vertices.where(
+        F.col("name").isin([str(n) for n in names])
+    ).select("vid")
+    vertices = graph.vertices.join(doomed, "vid", "left_anti")
+    edges = (
+        graph.edges.join(doomed.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .join(doomed.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+    )
+    return LinkGraph(edges.select(graph.edges.columns), vertices, directed=graph.directed)
+
+
+def delete_edges(graph: LinkGraph, pairs: list[tuple]) -> LinkGraph:
+    """MATCH (a)-[r]->(b) DELETE r (opencypher_builder.py:461-487)."""
+    vid_of = graph.vid_of()
+    idpairs = [(vid_of[str(a)], vid_of[str(b)]) for a, b in pairs]
+    spark = graph.spark
+    doomed = spark.createDataFrame(idpairs, "src long, dst long")
+    edges = graph.edges.join(doomed, ["src", "dst"], "left_anti")
+    return LinkGraph(edges, graph.vertices, directed=graph.directed)
+
+
+def clear_graph(graph: LinkGraph) -> LinkGraph:
+    """MATCH (n) DETACH DELETE n (opencypher_builder.py:490-506)."""
+    spark = graph.spark
+    return LinkGraph(
+        spark.createDataFrame([], "src long, dst long"),
+        spark.createDataFrame([], "vid long, name string"),
+        directed=graph.directed,
+    )

@@ -60,6 +60,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     fixed_iterations: int | None = None,
     raise_on_no_convergence: bool = True,
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Return DataFrame(vid long, rank double).
 
@@ -150,7 +151,7 @@ def pagerank(
     if lazy_ok:
         for it in range(start_iter, limit):
             contribs = salted_sum(
-                links.join(ranks, links.src == ranks.vid).select(
+                links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
                     "dst", (F.col("rank") * F.col("share")).alias("c")
                 ),
                 key="dst",
@@ -179,7 +180,7 @@ def pagerank(
     it = start_iter
     for it in range(start_iter, limit):
         contribs = salted_sum(
-            links.join(ranks, links.src == ranks.vid).select(
+            links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
                 "dst", (F.col("rank") * F.col("share")).alias("c")
             ),
             key="dst",
@@ -260,3 +261,13 @@ def _attach_dist(
     return meta.join(F.broadcast(ddf), "vid", "left").withColumn(
         col, F.coalesce(F.col(col), F.lit(0.0))
     )
+
+def _hinted(df: DataFrame, join_hint: str | None) -> DataFrame:
+    """Join-strategy hint for the per-iteration links ⨝ ranks join.
+
+    Default shuffle_hash: both sides are already hash-partitioned on the
+    key, so SHJ needs no per-iteration sort of the E-row links side (SMJ
+    would re-sort it every iteration) and no driver-side broadcast build
+    (BHJ serializes the whole rank state through one driver thread,
+    which anti-scales with executor count)."""
+    return df.hint(join_hint) if join_hint else df

@@ -1,0 +1,87 @@
+"""Data-lake table lifecycle (reference A3-A8/A10 parity, Spark-native).
+
+The reference drives Athena with generated DDL/SQL strings and polls
+query ids (/root/reference/nx_neptune/instance_management.py:
+create_csv_table_from_s3 :1153-1263, _build_sql_statement :1266-1340,
+iceberg CTAS :1343-1424, create from DDL :1427-1483, drop :1486-1548,
+get_athena_query_results :1907-1947; DDL generator
+nx_neptune/utils/utils.py:314-342). Spark needs none of the polling:
+every step is a catalog call or a write. Iceberg CTAS maps to
+``writeTo(...).using("iceberg")`` on clusters with the Iceberg runtime;
+this sandbox has no Iceberg jar, so ``create_table_as`` falls back to
+parquet ``saveAsTable`` transparently (same durable-table semantics).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+SQL_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+NODE_ID_RE = re.compile(r"^[a-zA-Z0-9_\-:.\/]+$")
+
+
+def validate_sql_identifier(name: str) -> str:
+    """Reference B13/A7 identifier allowlist (utils/utils.py:457-472,
+    opencypher_builder.py:1026-1039): reject anything that could smuggle
+    SQL into generated statements."""
+    if not SQL_IDENTIFIER_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def validate_node_id(node_id: str) -> str:
+    if not NODE_ID_RE.match(str(node_id)):
+        raise ValueError(f"invalid node id: {node_id!r}")
+    return str(node_id)
+
+
+def create_csv_table(
+    spark: SparkSession, table: str, path: str, header: bool = True
+) -> None:
+    """A4/A10: external CSV table over a directory (the reference infers
+    types from `name:Type` headers; Spark's inferSchema plays that role,
+    and read_vertex_csv/read_edge_csv handle the Gremlin typed headers).
+    """
+    validate_sql_identifier(table)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} USING csv "
+        f"OPTIONS (path '{path}', header '{str(header).lower()}', inferSchema 'true')"
+    )
+
+
+def create_table_as(
+    spark: SparkSession, table: str, df: DataFrame, fmt: str = "iceberg"
+) -> str:
+    """A5: durable CTAS. Tries Iceberg (`writeTo().using('iceberg')`),
+    falls back to parquet saveAsTable when no Iceberg catalog is
+    configured (this sandbox). Returns the format actually used."""
+    validate_sql_identifier(table)
+    if fmt == "iceberg":
+        try:
+            df.writeTo(table).using("iceberg").createOrReplace()
+            return "iceberg"
+        except Exception:
+            pass  # no iceberg runtime in this environment
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return "parquet"
+
+
+def run_ddl(spark: SparkSession, ddl: str) -> None:
+    """A6: caller-supplied DDL, executed as-is (the reference forwards
+    `CREATE EXTERNAL TABLE` strings to Athena)."""
+    spark.sql(ddl)
+
+
+def drop_table(spark: SparkSession, table: str, if_exists: bool = True) -> None:
+    """A7 (instance_management.py:1486-1548)."""
+    validate_sql_identifier(table)
+    spark.sql(f"DROP TABLE {'IF EXISTS ' if if_exists else ''}{table}")
+
+
+def fetch_results(df: DataFrame, limit: int | None = None) -> list[list]:
+    """A8 result-shape parity (get_athena_query_results returns
+    list-of-rows with a header row, instance_management.py:1907-1947)."""
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    return [list(df.columns)] + [list(r) for r in rows]

@@ -1,0 +1,119 @@
+"""Graph CRUD (SURVEY §2.B) + projection (A9/A11) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures_graphs import chain_digraph
+from nx_neptune_spark.graph import LinkGraph
+from nx_neptune_spark.operators.crud import (
+    clear_graph,
+    delete_edges,
+    delete_nodes,
+    insert_edges,
+    insert_nodes,
+    match_all_edges,
+    match_all_nodes,
+    update_edges,
+    update_nodes,
+)
+from nx_neptune_spark.sources.projection import (
+    project_edges,
+    project_nodes,
+    validate_projection,
+)
+
+
+def g0(spark):
+    return LinkGraph.from_networkx(spark, chain_digraph())
+
+
+def named_edges(lg):
+    v = lg.vertices
+    return {
+        (r["s"], r["d"])
+        for r in lg.edges.join(
+            v.select(F.col("vid").alias("src"), F.col("name").alias("s")), "src"
+        )
+        .join(v.select(F.col("vid").alias("dst"), F.col("name").alias("d")), "dst")
+        .select("s", "d")
+        .collect()
+    }
+
+
+def test_insert_nodes_and_edges(spark):
+    g = g0(spark)
+    g2 = insert_nodes(g, ["Y", "Z"])
+    assert set(g2.name_of().values()) == set(g.name_of().values()) | {"Y", "Z"}
+    # dense, non-colliding vids
+    vids = sorted(g2.vertices.select("vid").toPandas()["vid"])
+    assert len(vids) == len(set(vids))
+
+    g3 = insert_edges(g2, [("Y", "Z"), ("Z", "Q")])  # Q auto-created (MERGE)
+    assert ("Y", "Z") in named_edges(g3) and ("Z", "Q") in named_edges(g3)
+    assert "Q" in set(g3.name_of().values())
+    # upsert: re-inserting an existing edge does not duplicate
+    before = g3.edges.count()
+    g4 = insert_edges(g3, [("Y", "Z")])
+    assert g4.edges.count() == before
+
+
+def test_update_and_delete(spark):
+    g = g0(spark)
+    g2 = update_nodes(g, ["A", "B"], "role", "seed")
+    props = {
+        r["name"]: dict(r["properties"] or {})
+        for r in g2.vertices.collect()
+    }
+    assert props["A"] == {"role": "seed"} and props["B"] == {"role": "seed"}
+    assert props["C"] == {}
+    g2b = update_nodes(g2, ["A"], "role", "hub")
+    pa = dict(g2b.vertices.where("name='A'").first()["properties"])
+    assert pa == {"role": "hub"}  # overwrite, not duplicate key
+
+    g3 = update_edges(g, [("A", "B")], "weight", "2")
+    rows = {
+        (r["src"], r["dst"]): dict(r["properties"] or {}) for r in g3.edges.collect()
+    }
+    vid = g.vid_of()
+    assert rows[(vid["A"], vid["B"])] == {"weight": "2"}
+
+    g4 = delete_nodes(g, ["C"])  # detaches B->C and C->D and E->C
+    ne = named_edges(g4)
+    assert all("C" not in pair for pair in ne)
+    assert "C" not in set(g4.name_of().values())
+
+    g5 = delete_edges(g, [("A", "B")])
+    assert ("A", "B") not in named_edges(g5)
+    assert g5.edges.count() == g.edges.count() - 1
+
+    g6 = clear_graph(g)
+    assert g6.vertices.count() == 0 and g6.edges.count() == 0
+
+
+def test_match_scans(spark):
+    g = g0(spark)
+    assert match_all_nodes(g).count() == 6
+    assert match_all_edges(g).count() == 5
+
+
+def test_projection_shapes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = project_nodes(
+        docs,
+        col_id="doc_id",
+        label="Document",
+        columns=["lang"],
+        col_embedding="embedding",
+        joins=[(emb, F.col("doc_id") == F.col("vec_id"))],
+    )
+    r = nodes.first()
+    assert set(nodes.columns) == {"~id", "~label", "lang", "embedding:vector"}
+    assert r["~label"] == "Document" and ";" in r["embedding:vector"]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = project_edges(ev, col_from="user_id", col_to="event_id", label="DID")
+    assert set(edges.columns) == {"~id", "~from", "~to", "~label"}
+
+    with pytest.raises(ValueError):
+        validate_projection(docs.select(F.col("doc_id").alias("id")), "NODE")

@@ -1,0 +1,51 @@
+"""Data-lake table lifecycle parity tests (A4-A8/A10, B13 validators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nx_neptune_spark.sources.tables import (
+    create_csv_table,
+    create_table_as,
+    drop_table,
+    fetch_results,
+    run_ddl,
+    validate_node_id,
+    validate_sql_identifier,
+)
+
+
+def test_validators():
+    assert validate_sql_identifier("db.table_1") == "db.table_1"
+    assert validate_node_id("https://example.org/page/1")
+    for bad in ["x; drop table y", "1tab le", "a'b"]:
+        with pytest.raises(ValueError):
+            validate_sql_identifier(bad)
+    with pytest.raises(ValueError):
+        validate_node_id("a b")
+
+
+def test_csv_table_and_ctas_and_drop(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs_csv")
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").option(
+        "header", True
+    ).csv(p)
+    create_csv_table(spark, "docs_csv_t", p)
+    n = spark.sql("select count(*) from docs_csv_t").first()[0]
+    assert n == docs.count()
+
+    fmt = create_table_as(
+        spark, "docs_ctas", spark.table("docs_csv_t").where(F.col("n_chars") > 100)
+    )
+    assert fmt in ("iceberg", "parquet")
+    assert spark.table("docs_ctas").count() > 0
+
+    run_ddl(spark, "CREATE OR REPLACE TEMP VIEW v1 AS SELECT 1 AS one")
+    assert spark.table("v1").first()["one"] == 1
+
+    res = fetch_results(spark.table("docs_ctas").select("doc_id", "lang"), limit=3)
+    assert res[0] == ["doc_id", "lang"] and len(res) == 4
+
+    drop_table(spark, "docs_ctas")
+    drop_table(spark, "docs_csv_t")
+    assert "docs_ctas" not in [t.name for t in spark.catalog.listTables()]
