@@ -37,7 +37,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(2_000_000 * sf))))
+    # 10M pages/sf => 1M pages (~4.5M extracted edges) at the driver's
+    # sf0.1: large enough that per-stage fixed costs don't dominate the
+    # north-star edges/sec/iteration figure
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(10_000_000 * sf))))
     pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
 
     from nx_neptune_spark.session import get_spark
