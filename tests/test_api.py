@@ -1,0 +1,93 @@
+"""NetworkX-shaped API layer tests: reference signature parity,
+warn-and-ignore semantics, result shapes."""
+
+import math
+import warnings
+
+import networkx as nx
+
+from fixtures_graphs import airport_cycle, chain_digraph, social_digraph, two_triangles_bridge
+from oracles import nx_pagerank
+from nx_neptune_spark import api
+from nx_neptune_spark.graph import LinkGraph
+
+
+def test_pagerank_dict_shape_and_values(spark):
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    got = api.pagerank(lg)
+    want = nx_pagerank(g)
+    assert isinstance(got, dict) and set(got) == {str(k) for k in want}
+    for k, v in want.items():
+        assert math.isclose(got[str(k)], v, abs_tol=1e-6)
+
+
+def test_pagerank_warns_on_remote_only_params(spark):
+    lg = LinkGraph.from_networkx(spark, chain_digraph())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        api.pagerank(lg, vertex_label="Page", concurrency=4)
+    msgs = " ".join(str(x.message) for x in w)
+    assert "vertex_label" in msgs and "concurrency" in msgs
+
+
+def test_pagerank_write_property_mutates_vertices(spark):
+    # reference mutate variant: writeProperty stores scores remotely
+    # instead of returning them (pagerank.py:176-183)
+    lg = LinkGraph.from_networkx(spark, chain_digraph())
+    out = api.pagerank(lg, write_property="pr_score")
+    assert out == {}
+    assert "pr_score" in lg.vertices.columns
+    total = sum(r["pr_score"] for r in lg.vertices.collect())
+    assert math.isclose(total, 1.0, abs_tol=1e-9)
+
+
+def test_degree_variants(spark):
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    for ours, theirs in [
+        (api.degree_centrality(lg), nx.degree_centrality(g)),
+        (api.in_degree_centrality(lg), nx.in_degree_centrality(g)),
+        (api.out_degree_centrality(lg), nx.out_degree_centrality(g)),
+    ]:
+        want = {str(k): v for k, v in theirs.items()}
+        assert ours.keys() == want.keys()
+        for k in want:  # nx computes d*(1/(n-1)), we compute d/(n-1): 1-ulp apart
+            assert math.isclose(ours[k], want[k], rel_tol=1e-12)
+
+
+def test_closeness_single_node_and_distance_warn(spark):
+    g = airport_cycle()
+    lg = LinkGraph.from_networkx(spark, g)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = api.closeness_centrality(lg, u="LAX", distance="weight")
+    assert any("distance" in str(x.message) for x in w)
+    assert math.isclose(got, nx.closeness_centrality(g, u="LAX"), abs_tol=1e-9)
+
+
+def test_lpa_shapes_and_aliases(spark):
+    lg = LinkGraph.from_networkx(spark, two_triangles_bridge())
+    comms = list(api.label_propagation_communities(lg))
+    assert sorted(map(sorted, comms)) == [["A", "B", "C"], ["D", "E", "F"]]
+    assert api.asyn_lpa_communities is api.label_propagation_communities
+    assert api.fast_label_propagation_communities is api.label_propagation_communities
+
+
+def test_connected_components_generator(spark):
+    lg = LinkGraph.from_networkx(spark, chain_digraph())
+    comps = sorted(map(sorted, api.connected_components(lg)))
+    assert comps == [["A", "B", "C", "D", "E"], ["X"]]
+
+
+def test_triangles_and_bfs(spark):
+    g = two_triangles_bridge()
+    lg = LinkGraph.from_networkx(spark, g)
+    assert api.triangles(lg) == {str(k): v for k, v in nx.triangles(g).items()}
+    assert api.triangles(lg, nodes=["A"]) == {"A": 1}
+
+    sg = social_digraph()
+    slg = LinkGraph.from_networkx(spark, sg)
+    assert list(api.bfs_edges(slg, "Alice")) == [("Alice", "Bob"), ("Alice", "Carl")]
+    assert api.descendants_at_distance(slg, "Alice", 1) == {"Bob", "Carl"}
+    assert list(api.bfs_layers(slg, "Alice")) == [["Alice"], ["Bob", "Carl"]]
