@@ -110,12 +110,23 @@ def _star_contraction(
             .distinct()
         )
         new_e = cp.checkpoint(small, IterationMetrics(iteration=it))
-        # converged when the edge set is unchanged (star forest reached)
-        changed = (
-            new_e.unionAll(e).groupBy("u", "v").count().where("count = 1").limit(1).count()
-        )
+        # converged when the edge set is unchanged (star forest reached).
+        # Cheap check: compare (count, sum-of-row-hashes) fingerprints --
+        # one aggregate per side instead of a unioned symmetric
+        # difference; both sides are distinct sets so equality of the
+        # multiset fingerprint implies set equality (mod a 2^-64 hash
+        # collision, acceptable for a convergence test of a monotone
+        # contraction that also has the iteration cap as a backstop).
+        def fp(df):
+            # decimal accumulator: long sum of 64-bit hashes overflows ANSI
+            return df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).first()
+
+        fp_new, fp_old = fp(new_e), fp(e)
         e = new_e
-        if changed == 0:
+        if fp_new["n"] == fp_old["n"] and fp_new["h"] == fp_old["h"]:
             break
     # star forest: v (child) -> u (root/min); roots map to themselves
     child = e.select(F.col("v").alias("vid"), F.col("u").alias("component"))

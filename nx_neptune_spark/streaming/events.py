@@ -44,6 +44,74 @@ def windowed_event_counts(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_secs: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the Structured Streaming escape hatch for
+    semantics windows can't express). Per key, events are folded into
+    sessions; a session closes when the next event is more than
+    ``gap_secs`` later, and closed sessions are emitted immediately.
+    The trailing open session stays in state across micro-batches.
+
+    State is (start, last, n) epoch-second longs; processing within a
+    batch sorts the group's events by time, so output is deterministic
+    for a given batch layout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            rows.extend(int(t) for t in ts)
+        rows.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in rows:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_secs:
+                last, n = t, n + 1
+            else:
+                out.append((start, last, n))
+                start, last, n = t, t, 1
+        if start is not None:
+            state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(out), dtype="int64"),
+                    "session_start": pd.to_datetime([s for s, _, _ in out], unit="s"),
+                    "session_end": pd.to_datetime([e for _, e, _ in out], unit="s"),
+                    "n_events": pd.Series([c for _, _, c in out], dtype="int64"),
+                }
+            )
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_edge_ingest(
     pages: DataFrame, watermark: str = "1 hour", ts_col: str = "warc_ts"
 ) -> DataFrame:
