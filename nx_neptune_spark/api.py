@@ -156,6 +156,35 @@ asyn_lpa_communities = label_propagation_communities
 fast_label_propagation_communities = label_propagation_communities
 
 
+def louvain_communities(
+    graph: LinkGraph,
+    weight: str | None = "weight",
+    resolution: float | None = None,
+    threshold: float | None = None,
+    max_level: int | None = None,
+    seed=None,
+    max_iterations: int = 10,
+    **ignored,
+) -> list[set]:
+    """list-of-sets shape (reference louvain.py:46-148: threshold ->
+    iterationTolerance, max_level -> maxLevels; `resolution`/`seed`
+    unsupported there too, louvain.py:96)."""
+    from .operators.louvain import louvain_communities as _lv
+
+    _warn_unsupported("louvain_communities", resolution=resolution, seed=seed)
+    name_of = graph.name_of()
+    comms: dict[int, set] = {}
+    rows = _lv(
+        graph,
+        weight=weight,
+        max_levels=max_level if max_level is not None else 5,
+        max_iterations=max_iterations,
+    ).collect()
+    for r in rows:
+        comms.setdefault(r["community"], set()).add(name_of[r["vid"]])
+    return list(comms.values())
+
+
 def connected_components(graph: LinkGraph) -> Iterable[set]:
     """Generator of sets, NetworkX shape."""
     from .operators.components import connected_components as _cc

@@ -91,3 +91,12 @@ def test_triangles_and_bfs(spark):
     assert list(api.bfs_edges(slg, "Alice")) == [("Alice", "Bob"), ("Alice", "Carl")]
     assert api.descendants_at_distance(slg, "Alice", 1) == {"Bob", "Carl"}
     assert list(api.bfs_layers(slg, "Alice")) == [["Alice"], ["Bob", "Carl"]]
+
+
+def test_louvain_api_shape_and_warns(spark):
+    lg = LinkGraph.from_networkx(spark, two_triangles_bridge())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comms = api.louvain_communities(lg, resolution=1.2, seed=7)
+    assert any("resolution" in str(x.message) for x in w)
+    assert sorted(map(sorted, comms)) == [["A", "B", "C"], ["D", "E", "F"]]
