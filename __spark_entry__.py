@@ -152,6 +152,17 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(g, max_iterations=LPA_ITERS)
 
 
+def q_louvain(spark, sf_dir):
+    """Louvain on the disjoint 5-clique graph: provably exact -- the
+    unique modularity optimum of disjoint cliques is one community per
+    clique, and the engine's deterministic min-tie-break labels it with
+    the minimum vid, so the oracle is closed-form (vid - vid%5)."""
+    from nx_neptune_spark.operators.louvain import louvain_communities
+
+    g = _clique_graph(spark, sf_dir)
+    return louvain_communities(g, max_levels=3, max_iterations=8)
+
+
 def q_triangle_count(spark, sf_dir):
     from nx_neptune_spark.operators.triangles import triangle_count
 
@@ -291,15 +302,34 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    # approximate path: no SQL oracle (bucketing is the point); rows-only
-    from nx_neptune_spark.operators.ann import lsh_topk
+    """Approximate path with a MEASURED recall contract: per query, the
+    multiprobe-LSH top-k must recover >= 0.8 of the exact brute-force
+    top-k (the exact twin is computed in the same job). The oracle
+    states the expectation (recall_ok = true per query), so the driver
+    hash-checks the measured recall instead of a rows-only pass."""
+    from nx_neptune_spark.operators.ann import brute_force_topk, lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=64, k=TOPK, tables=6, planes=4).select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    exact = brute_force_topk(emb, queries, k=TOPK).select("query_id", "vec_id")
+    approx = lsh_topk(emb, queries, dim=64, k=TOPK, tables=12, planes=4).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            ((F.coalesce(F.col("h"), F.lit(0)) / F.col("n")) >= 0.8).alias("recall_ok"),
+        )
     )
 
 
@@ -319,12 +349,31 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    # LSH-bucketed scale path: rows-only check (approximate recall)
-    from nx_neptune_spark.operators.ann import near_duplicate_pairs
+    """LSH-bucketed scale path with a MEASURED pair-recall contract:
+    the multiprobe-LSH near-dup pair set (a strict subset of the exact
+    set -- candidates are bucket-restricted, the cosine filter is exact)
+    must cover >= 0.8 of the brute-force pairs. One certified row."""
+    from nx_neptune_spark.operators.ann import cosine, near_duplicate_pairs
 
-    return near_duplicate_pairs(
-        _emb(spark, sf_dir), dim=64, threshold=COS_T, tables=6, planes=4
-    ).select("a", "b", F.round("cosine", 6).alias("cosine"))
+    emb = _emb(spark, sf_dir)
+    lsh_n = (
+        near_duplicate_pairs(emb, dim=64, threshold=COS_T, tables=12, planes=4)
+        .agg(F.count("*").alias("n_lsh"))
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    exact_n = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(cosine(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= COS_T)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return lsh_n.crossJoin(exact_n).select(
+        F.lit("embedding_near_dup_pair_recall").alias("metric"),
+        (F.col("n_lsh") / F.greatest(F.col("n_exact"), F.lit(1)) >= 0.8).alias(
+            "recall_ok"
+        ),
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -423,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_web": q_pagerank_web,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "louvain": q_louvain,
         "triangle_count": q_triangle_count,
         "degree_centrality": q_degree_centrality,
         "bfs_levels": q_bfs_levels,
@@ -468,9 +518,11 @@ _SHINGLE_CTES = f"""
 toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
          FROM documents),
 sh AS (SELECT DISTINCT id,
-         unnest(list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
-                               i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
-       FROM toks WHERE len(t) >= {SHINGLE_K})
+         unnest(CASE WHEN len(t) >= {SHINGLE_K}
+                THEN list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                                    i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingle
+       FROM toks)
 """
 
 
@@ -638,9 +690,11 @@ def _jaccard_core_sql(cand_cte: str, threshold: float) -> str:
     """Shared tail: exact jaccard over candidate pairs."""
     return f"""
 sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
+cid AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+shc AS (SELECT sh.id, sh.shingle FROM sh JOIN cid USING (id)),
 inter AS (
   SELECT l.id AS a, r.id AS b, count(*) AS i
-  FROM sh l JOIN sh r ON r.shingle = l.shingle AND l.id < r.id
+  FROM shc l JOIN shc r ON r.shingle = l.shingle AND l.id < r.id
   JOIN cand c ON c.a = l.id AND c.b = r.id
   GROUP BY l.id, r.id
 )
@@ -793,6 +847,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_web": _pagerank_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
+        "louvain": (
+            "SELECT doc_id AS vid, CAST(doc_id - doc_id % 5 AS BIGINT) AS community"
+            " FROM documents"
+        ),
         "triangle_count": _triangles_sql(),
         "degree_centrality": _degree_sql(),
         "bfs_levels": _bfs_sql("SELECT vid, level FROM ml"),
@@ -811,7 +869,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": (
             "SELECT doc_id,"
-            " len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,"
+            " CASE WHEN length(trim(text)) = 0 THEN 0"
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,"
             f" len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,"
             " length(text) AS n_chars_actual FROM documents"
         ),
@@ -823,7 +882,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "ann_topk": _ann_topk_sql(),
+        "ann_topk_lsh": (
+            f"SELECT vec_id AS query_id, true AS recall_ok FROM embeddings"
+            f" WHERE vec_id < {N_QUERIES}"
+        ),
         "embedding_near_dup": _near_dup_sql(),
+        "embedding_near_dup_lsh": (
+            "SELECT 'embedding_near_dup_pair_recall' AS metric, true AS recall_ok"
+        ),
         "multimodal_meta": (
             "SELECT doc_id AS media_id,"
             " octet_length(encode(text)) AS n_bytes,"

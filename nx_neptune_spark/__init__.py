@@ -12,5 +12,15 @@ training-data operators (dedup, similarity search, text analysis).
 from .graph import LinkGraph
 from .session import get_spark
 
-__all__ = ["LinkGraph", "get_spark"]
+
+def register_nx_backend(name: str = "spark") -> str:
+    """Register the NetworkX ``backend="spark"`` dispatch (see
+    interface.py; equivalent of the reference's networkx.backends entry
+    point taking effect)."""
+    from .interface import register
+
+    return register(name)
+
+
+__all__ = ["LinkGraph", "get_spark", "register_nx_backend"]
 __version__ = "0.1.0"

@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame
 from .graph import LinkGraph
 
 
+def _validate_mutate_config(graph: LinkGraph, write_property: str) -> str:
+    """Mutate-variant guard, analog of the reference's
+    validate_mutate_execution_config (nx_plugin/config.py:195-202 via
+    algorithm_utils.py execute_mutation_query): the reference rejects
+    configurations where the mutated state cannot persist; here the
+    engine analog is rejecting property names that cannot become a
+    vertex column (invalid identifier or a core-column collision)."""
+    from .sources.tables import validate_sql_identifier
+
+    validate_sql_identifier(write_property)
+    if "." in write_property or write_property in ("vid", "name"):
+        raise ValueError(
+            f"write_property {write_property!r} would clobber a core vertex column"
+        )
+    return write_property
+
+
+def _write_vertex_property(
+    graph: LinkGraph, result: DataFrame, value_col: str, write_property: str
+) -> dict:
+    """Reference mutate-variant behavior (opencypher_builder.py mutate
+    builders :804-984): persist scores as a vertex property and return
+    {} instead of the scores."""
+    _validate_mutate_config(graph, write_property)
+    graph.vertices = graph.vertices.drop(write_property).join(
+        result.withColumnRenamed(value_col, write_property), "vid", "left"
+    )
+    return {}
+
+
 def _warn_unsupported(algo: str, **params: Any) -> None:
     """Reference behavior for unsupported params (algorithm_utils.py:26-38)."""
     for name, value in params.items():
@@ -81,24 +111,25 @@ def pagerank(
         dangling=to_vids(dangling),
     )
     if write_property is not None:
-        # mutate-variant analog (reference writeProperty, pagerank.py:176-183):
-        # persist scores as a vertex property column instead of returning
-        graph.vertices = graph.vertices.join(
-            result.withColumnRenamed("rank", write_property), "vid", "left"
-        )
-        return {}
+        return _write_vertex_property(graph, result, "rank", write_property)
     return {name_of[r["vid"]]: r["rank"] for r in result.collect()}
 
 
-def degree_centrality(graph: LinkGraph, direction: str = "both", **ignored) -> dict:
-    """{node: degree/(n-1)} (reference degree_centrality.py:41-194)."""
+def degree_centrality(
+    graph: LinkGraph,
+    direction: str = "both",
+    write_property: str | None = None,
+    **ignored,
+) -> dict:
+    """{node: degree/(n-1)} (reference degree_centrality.py:41-194;
+    mutate builder opencypher_builder.py:963-984)."""
     from .operators.degree import degree_centrality as _dc
 
+    result = _dc(graph, direction=direction)
+    if write_property is not None:
+        return _write_vertex_property(graph, result, "centrality", write_property)
     name_of = graph.name_of()
-    return {
-        name_of[r["vid"]]: r["centrality"]
-        for r in _dc(graph, direction=direction).collect()
-    }
+    return {name_of[r["vid"]]: r["centrality"] for r in result.collect()}
 
 
 def in_degree_centrality(graph: LinkGraph, **kw) -> dict:
@@ -115,37 +146,59 @@ def closeness_centrality(
     distance: str | None = None,
     wf_improved: bool = True,
     num_sources: int | None = None,
+    write_property: str | None = None,
     **ignored,
 ) -> dict | float:
     """Reference closeness.py:44-129; `distance` unsupported there too
-    (closeness.py:89)."""
+    (closeness.py:89); mutate builder opencypher_builder.py:908-933;
+    single-source query form :860-905 (u= runs ONE BFS here, not
+    all-sources-then-index)."""
     from .operators.closeness import MAX_INT64, closeness_centrality as _cc
 
     _warn_unsupported("closeness_centrality", distance=distance)
-    name_of = graph.name_of()
-    res = {
-        name_of[r["vid"]]: r["closeness"]
-        for r in _cc(
+    if u is not None and write_property is None:
+        # source-list fast path: one BFS from u only
+        vid = graph.vid_of()[str(u)]
+        rows = _cc(
             graph,
             wf_improved=wf_improved,
             num_sources=num_sources if num_sources is not None else MAX_INT64,
+            sources=[vid],
         ).collect()
-    }
+        return rows[0]["closeness"] if rows else 0.0
+    result = _cc(
+        graph,
+        wf_improved=wf_improved,
+        num_sources=num_sources if num_sources is not None else MAX_INT64,
+    )
+    if write_property is not None:
+        return _write_vertex_property(graph, result, "closeness", write_property)
+    name_of = graph.name_of()
+    res = {name_of[r["vid"]]: r["closeness"] for r in result.collect()}
     if u is not None:
         return res[str(u)]
     return res
 
 
 def label_propagation_communities(
-    graph: LinkGraph, max_iterations: int = 20, weight: str | None = None, seed=None, **ignored
+    graph: LinkGraph,
+    max_iterations: int = 20,
+    weight: str | None = None,
+    seed=None,
+    write_property: str | None = None,
+    **ignored,
 ) -> Iterable[set]:
     """dict_values-of-sets shape (reference label_propagation.py:356-362);
-    `seed` ignored exactly like the reference (:103,176)."""
+    `seed` ignored exactly like the reference (:103,176); mutate builder
+    opencypher_builder.py:832-857."""
     from .operators.label_propagation import label_propagation as _lpa
 
     _warn_unsupported("label_propagation_communities", seed=seed)
-    name_of = graph.name_of()
     labels = _lpa(graph, max_iterations=max_iterations, weight=weight)
+    if write_property is not None:
+        _write_vertex_property(graph, labels, "label", write_property)
+        return {}.values()
+    name_of = graph.name_of()
     comms: dict[int, set] = {}
     for r in labels.collect():
         comms.setdefault(r["label"], set()).add(name_of[r["vid"]])
@@ -164,23 +217,32 @@ def louvain_communities(
     max_level: int | None = None,
     seed=None,
     max_iterations: int = 10,
+    level_tolerance: float | None = None,
+    write_property: str | None = None,
     **ignored,
 ) -> list[set]:
     """list-of-sets shape (reference louvain.py:46-148: threshold ->
-    iterationTolerance, max_level -> maxLevels; `resolution`/`seed`
+    iterationTolerance louvain.py:101-102, level_tolerance ->
+    levelTolerance :113-118, max_level -> maxLevels, write_property
+    mutate builder opencypher_builder.py:804-829; `resolution`/`seed`
     unsupported there too, louvain.py:96)."""
     from .operators.louvain import louvain_communities as _lv
 
     _warn_unsupported("louvain_communities", resolution=resolution, seed=seed)
-    name_of = graph.name_of()
-    comms: dict[int, set] = {}
-    rows = _lv(
+    result = _lv(
         graph,
         weight=weight,
         max_levels=max_level if max_level is not None else 5,
         max_iterations=max_iterations,
-    ).collect()
-    for r in rows:
+        iteration_tolerance=threshold if threshold is not None else 0.0,
+        level_tolerance=level_tolerance if level_tolerance is not None else 0.0,
+    )
+    if write_property is not None:
+        _write_vertex_property(graph, result, "community", write_property)
+        return []
+    name_of = graph.name_of()
+    comms: dict[int, set] = {}
+    for r in result.collect():
         comms.setdefault(r["community"], set()).add(name_of[r["vid"]])
     return list(comms.values())
 
@@ -207,9 +269,13 @@ def triangles(graph: LinkGraph, nodes=None) -> dict:
 
 
 def bfs_edges(graph: LinkGraph, source: str, reverse: bool = False,
-              depth_limit: int | None = None, **ignored):
-    """Generator of (parent, child) pairs (reference bfs.py:41-130)."""
+              depth_limit: int | None = None, sort_neighbors=None, **ignored):
+    """Generator of (parent, child) pairs (reference bfs.py:41-130);
+    `sort_neighbors` warn-and-ignored like the reference's explicit
+    unsupported-param pattern (bfs.py:41, algorithm_utils.py:26-38)."""
     from .operators.bfs import bfs_parents as _bp
+
+    _warn_unsupported("bfs_edges", sort_neighbors=sort_neighbors)
 
     vid_of = graph.vid_of()
     name_of = graph.name_of()

@@ -1,0 +1,269 @@
+"""NetworkX backend dispatch: ``nx.pagerank(G, backend="spark")``.
+
+Parity with the reference's plugin entry point
+(/root/reference/nx_neptune/interface.py:45-85 ``assign_algorithms`` +
+``BackendInterface``; registered via the ``networkx.backends`` /
+``networkx.backend_info`` entry points in
+/root/reference/pyproject.toml:38-42). A pip install of this repo
+registers the ``spark`` backend through the identical entry points in
+our pyproject.toml; :func:`register` performs the same registration at
+runtime for environments where the package is used from a source
+checkout (this sandbox), by installing an entry-point shim into
+``networkx.utils.backends`` -- the documented discovery dict -- and
+rebinding ``_dispatchable.__call__`` to the any-backends-installed
+variant (NetworkX freezes that choice at import time purely as a fast
+path for the zero-backends case).
+
+Dispatch semantics mirror the reference: ``convert_from_nx`` /
+``convert_to_nx`` are passthroughs (interface.py:76-85) and each
+algorithm wrapper builds the Spark-resident graph itself. Node keys in
+results are the caller's original node objects (NetworkX contract),
+mapped back from the engine's string vertex names.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Iterable
+
+from . import api
+from .graph import LinkGraph
+
+# Algorithms the reference dispatches (interface.py:45-58) plus the two
+# north-rule additions this engine implements natively.
+ALGORITHMS = [
+    "bfs_edges",
+    "bfs_layers",
+    "descendants_at_distance",
+    "pagerank",
+    "degree_centrality",
+    "in_degree_centrality",
+    "out_degree_centrality",
+    "closeness_centrality",
+    "label_propagation_communities",
+    "asyn_lpa_communities",
+    "fast_label_propagation_communities",
+    "louvain_communities",
+    # north-rule additions (SURVEY.md §2.9)
+    "connected_components",
+    "triangles",
+]
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "backend='spark' needs an active SparkSession "
+            "(create one with nx_neptune_spark.session.get_session())"
+        )
+    return s
+
+
+def _lg(G) -> LinkGraph:
+    return LinkGraph.from_networkx(_spark(), G)
+
+
+def _back(G) -> dict[str, Any]:
+    """str(vertex name) -> original node object."""
+    return {str(n): n for n in G.nodes()}
+
+
+class BackendInterface:
+    """NetworkX backend: every attribute named like a dispatchable
+    function is callable with that function's full signature."""
+
+    @staticmethod
+    def convert_from_nx(graph, *args, **kwargs):
+        return graph
+
+    @staticmethod
+    def convert_to_nx(obj, *args, **kwargs):
+        return obj
+
+    # -- link analysis -------------------------------------------------
+
+    @staticmethod
+    def pagerank(
+        G,
+        alpha=0.85,
+        personalization=None,
+        max_iter=100,
+        tol=1.0e-6,
+        nstart=None,
+        weight="weight",
+        dangling=None,
+        **backend_kwargs,
+    ):
+        back = _back(G)
+        res = api.pagerank(
+            _lg(G),
+            alpha=alpha,
+            personalization=personalization,
+            max_iter=max_iter,
+            tol=tol,
+            nstart=nstart,
+            weight=weight,
+            dangling=dangling,
+            **backend_kwargs,
+        )
+        return {back[k]: v for k, v in res.items()}
+
+    # -- centrality ----------------------------------------------------
+
+    @staticmethod
+    def degree_centrality(G, **kw):
+        back = _back(G)
+        return {back[k]: v for k, v in api.degree_centrality(_lg(G), **kw).items()}
+
+    @staticmethod
+    def in_degree_centrality(G, **kw):
+        back = _back(G)
+        return {back[k]: v for k, v in api.in_degree_centrality(_lg(G), **kw).items()}
+
+    @staticmethod
+    def out_degree_centrality(G, **kw):
+        back = _back(G)
+        return {back[k]: v for k, v in api.out_degree_centrality(_lg(G), **kw).items()}
+
+    @staticmethod
+    def closeness_centrality(G, u=None, distance=None, wf_improved=True, **kw):
+        res = api.closeness_centrality(
+            _lg(G), u=u, distance=distance, wf_improved=wf_improved, **kw
+        )
+        if u is not None:
+            return res
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+    # -- communities ---------------------------------------------------
+
+    @staticmethod
+    def label_propagation_communities(G, **kw):
+        back = _back(G)
+        return [
+            {back[m] for m in c}
+            for c in api.label_propagation_communities(_lg(G), **kw)
+        ]
+
+    @staticmethod
+    def asyn_lpa_communities(G, weight=None, seed=None, **kw):
+        back = _back(G)
+        comms = api.asyn_lpa_communities(_lg(G), weight=weight, seed=seed, **kw)
+        return iter([{back[m] for m in c} for c in comms])
+
+    @staticmethod
+    def fast_label_propagation_communities(G, *, weight=None, seed=None, **kw):
+        back = _back(G)
+        comms = api.fast_label_propagation_communities(
+            _lg(G), weight=weight, seed=seed, **kw
+        )
+        return iter([{back[m] for m in c} for c in comms])
+
+    @staticmethod
+    def louvain_communities(
+        G,
+        weight="weight",
+        resolution=1,
+        threshold=1e-07,
+        max_level=None,
+        seed=None,
+        **kw,
+    ):
+        back = _back(G)
+        comms = api.louvain_communities(
+            _lg(G),
+            weight=weight,
+            # NX defaults would trigger spurious warn-and-ignore; only
+            # forward a resolution the caller actually changed
+            resolution=None if resolution == 1 else resolution,
+            threshold=threshold,
+            max_level=max_level,
+            seed=seed,
+            **kw,
+        )
+        return [{back[m] for m in c} for c in comms]
+
+    # -- traversal -----------------------------------------------------
+
+    @staticmethod
+    def bfs_edges(G, source, reverse=False, depth_limit=None, sort_neighbors=None, **kw):
+        if sort_neighbors is not None:
+            # reference pattern: explicit warn-and-ignore
+            warnings.warn(
+                "Parameter `sort_neighbors` is not supported by bfs_edges "
+                "and will be ignored.",
+                stacklevel=3,
+            )
+        back = _back(G)
+        for a, b in api.bfs_edges(
+            _lg(G), source, reverse=reverse, depth_limit=depth_limit, **kw
+        ):
+            yield (back[a], back[b])
+
+    @staticmethod
+    def bfs_layers(G, sources, **kw):
+        back = _back(G)
+        for layer in api.bfs_layers(_lg(G), sources, **kw):
+            yield [back[m] for m in layer]
+
+    @staticmethod
+    def descendants_at_distance(G, source, distance, **kw):
+        back = _back(G)
+        return {back[m] for m in api.descendants_at_distance(_lg(G), source, distance, **kw)}
+
+    # -- north-rule additions -------------------------------------------
+
+    @staticmethod
+    def connected_components(G, **kw):
+        back = _back(G)
+        return iter([{back[m] for m in c} for c in api.connected_components(_lg(G), **kw)])
+
+    @staticmethod
+    def triangles(G, nodes=None, **kw):
+        res = api.triangles(_lg(G), nodes=nodes, **kw)
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+
+def get_info() -> dict:
+    """``networkx.backend_info`` payload (reference: nx_plugin:get_info)."""
+    return {
+        "backend_name": "spark",
+        "project": "nx-neptune-spark",
+        "package": "nx_neptune_spark",
+        "url": "https://github.com/awslabs/nx-neptune",
+        "short_summary": "PySpark DataFrame-native link-graph analytics backend.",
+        "functions": {name: {} for name in ALGORITHMS},
+    }
+
+
+class _EntryPointShim:
+    """Duck-types importlib.metadata.EntryPoint for runtime registration."""
+
+    name = "spark"
+    group = "networkx.backends"
+    value = "nx_neptune_spark.interface:BackendInterface"
+
+    def load(self):
+        return BackendInterface
+
+
+def register(name: str = "spark") -> str:
+    """Register the backend with an already-imported networkx.
+
+    Equivalent to the pyproject entry points taking effect at import
+    time; needed when running from a source checkout. Idempotent.
+    """
+    from networkx.utils import backends as _b
+
+    _b.backends[name] = _EntryPointShim()
+    _b.backend_info[name] = get_info()
+    _b._loaded_backends.pop(name, None)
+    # NetworkX binds __call__ at import time to a no-backends fast path
+    # when the entry-point scan found nothing; rebind to the dispatching
+    # variant now that a backend exists.
+    _b._dispatchable.__call__ = _b._dispatchable._call_if_any_backends_installed
+    return name

@@ -107,6 +107,37 @@ def lsh_bucket_keys(
     return F.array(*keys)
 
 
+def lsh_probe_keys(
+    vec: Column, dim: int, tables: int = 4, planes: int = 8
+) -> Column:
+    """Multiprobe key set: each table's exact key plus every 1-bit flip
+    of it (tables * (planes+1) keys). Probing the query side widens each
+    lookup to all buckets within Hamming distance 1 -- the classic
+    recall boost that costs (planes+1)x keys on the SMALL side only,
+    instead of more tables (which would grow the corpus index)."""
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
+    keys = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            hp = _hyperplane(dim, t, p)
+            s = F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(v) for v in hp]), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+        variants = [bits] + [
+            [(F.lit(1) - b) if i == flip else b for i, b in enumerate(bits)]
+            for flip in range(planes)
+        ]
+        for var in variants:
+            keys.append(
+                F.concat(F.lit(f"t{t}:"), *[v.cast("string") for v in var])
+            )
+    return F.array(*keys)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,9 +148,12 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: same output shape as brute_force_topk but only
-    scoring candidates that share an LSH bucket in any table."""
+    scoring candidates that share an LSH bucket in any table (queries
+    additionally probe all 1-bit-adjacent buckets when ``multiprobe``)."""
+    keyfn = lsh_probe_keys if multiprobe else lsh_bucket_keys
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -128,7 +162,7 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+        F.explode(keyfn(F.col(vec_col), dim, tables, planes)).alias("bucket"),
     )
     cand = (
         c.join(q, "bucket")
@@ -155,16 +189,26 @@ def near_duplicate_pairs(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a, b, cosine >= threshold),
-    candidates restricted to shared LSH buckets."""
+    candidates restricted to shared LSH buckets. With ``multiprobe`` the
+    left join side emits 1-bit-adjacent probe keys too, so any pair
+    whose table keys differ by <= 1 bit becomes a candidate (Hamming
+    adjacency is symmetric, so probing one side covers both orders)."""
+    keyfn = lsh_probe_keys if multiprobe else lsh_bucket_keys
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
     )
+    cl = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(keyfn(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    )
     pairs = (
-        c.alias("l")
+        cl.alias("l")
         .join(c.alias("r"), "bucket")
         .where(F.col("l.id") < F.col("r.id"))
         .select(

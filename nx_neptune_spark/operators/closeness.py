@@ -35,6 +35,7 @@ def closeness_centrality(
     wf_improved: bool = True,
     num_sources: int = MAX_INT64,
     reverse: bool = False,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """DataFrame(vid long, closeness double).
 
@@ -57,7 +58,14 @@ def closeness_centrality(
         edges = graph.symmetric_edges().select("src", "dst")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
-    if num_sources < n:
+    explicit_sources = sources is not None
+    if explicit_sources:
+        # source-list fast path (reference single-source/source-list
+        # query form, opencypher_builder.py:860-905): BFS only from the
+        # requested vertices -- one BFS for a single u
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "vid long")
+        sources = vertices.join(src_df, "vid", "left_semi")
+    elif num_sources < n:
         # deterministic sample: lowest vids (stable across runs/cluster sizes)
         sources = vertices.orderBy("vid").limit(int(num_sources))
     else:
@@ -99,7 +107,8 @@ def closeness_centrality(
         F.col("source").alias("vid"),
         F.when(F.col("sum_dist") > 0, scale).otherwise(F.lit(0.0)).alias("closeness"),
     )
+    base = sources if explicit_sources else vertices
     return (
-        vertices.join(out, "vid", "left")
+        base.select("vid").join(out, "vid", "left")
         .select("vid", F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
     )

@@ -80,7 +80,16 @@ def _star_contraction(
     if edges.isEmpty():
         return spark.createDataFrame([], "vid long, component long")
     e = cp.truncate(edges)
-    for it in range(max_iter):
+    # resume from a durable checkpoint (the state IS the contracted edge
+    # set; a completed manifest means e is already the star forest)
+    start_iter, already_done = 0, False
+    resumed = cp.resume()
+    if resumed is not None:
+        state, manifest = resumed
+        e = cp.truncate(state.select("u", "v"))
+        start_iter = int(manifest["metrics"]["iteration"]) + 1
+        already_done = bool(manifest.get("complete"))
+    for it in range(start_iter, 0 if already_done else max_iter):
         # ---- large-star ----
         sym = e.select("u", "v").unionAll(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -127,6 +136,7 @@ def _star_contraction(
         fp_new, fp_old = fp(new_e), fp(e)
         e = new_e
         if fp_new["n"] == fp_old["n"] and fp_new["h"] == fp_old["h"]:
+            cp.finalize(it)
             break
     # star forest: v (child) -> u (root/min); roots map to themselves
     child = e.select(F.col("v").alias("vid"), F.col("u").alias("component"))
@@ -143,7 +153,14 @@ def _min_label_propagation(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = vertices.select("vid", F.col("vid").alias("component"))
     labels = cp.truncate(labels)
-    for it in range(max_iter):
+    start_iter, already_done = 0, False
+    resumed = cp.resume()
+    if resumed is not None:
+        state, manifest = resumed
+        labels = cp.truncate(state.select("vid", "component"))
+        start_iter = int(manifest["metrics"]["iteration"]) + 1
+        already_done = bool(manifest.get("complete"))
+    for it in range(start_iter, 0 if already_done else max_iter):
         nbr_min = (
             sym.join(labels, sym.u == labels.vid)
             .groupBy("v")
@@ -168,6 +185,7 @@ def _min_label_propagation(
         )
         labels = new_labels
         if changed == 0:
+            cp.finalize(it)
             break
     sym.unpersist()
     return labels

@@ -58,10 +58,20 @@ def insert_nodes(graph: LinkGraph, names: Iterable[str] | DataFrame) -> LinkGrap
         graph.vertices.select("name"), "name", "left_anti"
     )
     base = graph.vertices.agg(F.coalesce(F.max("vid"), F.lit(-1))).first()[0]
-    w_rows = new_names.rdd.zipWithIndex().map(lambda t: (base + 1 + t[1], t[0][0]))
-    added = spark.createDataFrame(w_rows, "vid long, name string")
+    # Deterministic id assignment: reuse assign_dense_ids' sorted
+    # range-partition + zipWithIndex recipe (graph.py:50-67) offset by
+    # max(vid)+1, so new ids are identical across runs / cluster sizes
+    # (zipWithIndex over an unsorted join result would depend on
+    # partition layout).
+    from ..graph import assign_dense_ids
+
+    added = assign_dense_ids(new_names, "name").select(
+        (F.col("vid") + F.lit(base + 1)).alias("vid"), "name"
+    )
     return LinkGraph(
-        graph.edges, graph.vertices.unionByName(added), directed=graph.directed
+        graph.edges,
+        graph.vertices.unionByName(added, allowMissingColumns=True),
+        directed=graph.directed,
     )
 
 
@@ -102,8 +112,13 @@ def insert_edges(
         )
         .select("src", "dst")
     )
-    cols = [c for c in g.edges.columns if c in ("src", "dst")]
-    merged = g.edges.select(*cols).unionByName(new_edges).dropDuplicates(["src", "dst"])
+    # MERGE semantics preserving extra edge columns (weight, properties,
+    # ...): existing rows are kept verbatim; only genuinely-new (src,dst)
+    # pairs are appended, with nulls for columns the insert doesn't set.
+    fresh = new_edges.dropDuplicates(["src", "dst"]).join(
+        g.edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    merged = g.edges.unionByName(fresh, allowMissingColumns=True)
     return LinkGraph(merged, g.vertices, directed=graph.directed)
 
 

@@ -97,9 +97,22 @@ def jaccard_pairs(
             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
             .distinct()
         )
+    # Scale guard: restrict the shingle table to docs that actually appear
+    # in a candidate pair BEFORE the shingle self-join. Without this, a
+    # stop-shingle shared by 10^6 docs explodes to ~10^12 intermediate
+    # rows before the candidate semi-filter can prune; with it, the
+    # self-join fan-out is bounded by the candidate set. Exactness is
+    # preserved: intersection counts are only consumed for candidate
+    # pairs, and every shingle of a candidate doc is retained.
+    cand_ids = (
+        candidates.select(F.col("a").alias("id"))
+        .union(candidates.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "id", "left_semi")
     inter = (
-        sh.select(F.col("id").alias("a"), "shingle")
-        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        shc.select(F.col("id").alias("a"), "shingle")
+        .join(shc.select(F.col("id").alias("b"), "shingle"), "shingle")
         .join(candidates, ["a", "b"], "left_semi")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")

@@ -56,6 +56,12 @@ def label_propagation(
     else:
         edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
     edges = edges.where(F.col("src") != F.col("dst"))
+    if graph.directed:
+        # NetworkX to_undirected() semantics: a digraph holding BOTH
+        # (a,b) and (b,a) contributes ONE undirected neighbor edge, not
+        # a double-weight vote. Collapse reciprocal duplicates (max
+        # weight, deterministic; distinct for the unweighted w=1 case).
+        edges = edges.groupBy("src", "dst").agg(F.max("w").alias("w"))
     if vertex_weight is not None:
         # effective message weight = vertex_weight(src) * edge_weight
         edges = edges.join(
@@ -65,7 +71,15 @@ def label_propagation(
 
     cp = checkpoint or CheckpointManager(spark, algorithm="label_propagation")
     labels = cp.truncate(vertices.select("vid", F.col("vid").alias("label")))
-    for it in range(max_iterations):
+    # resume from a durable checkpoint (state = current label vector)
+    start_iter, already_done = 0, False
+    resumed = cp.resume()
+    if resumed is not None:
+        state, manifest = resumed
+        labels = cp.truncate(state.select("vid", "label"))
+        start_iter = int(manifest["metrics"]["iteration"]) + 1
+        already_done = bool(manifest.get("complete"))
+    for it in range(start_iter, 0 if already_done else max_iterations):
         msgs = (
             edges.join(labels, edges.src == labels.vid)
             .select(F.col("dst").alias("vid"), "label", "w")
@@ -89,6 +103,7 @@ def label_propagation(
         )
         labels = new_labels
         if changed == 0:
+            cp.finalize(it)
             break
     edges.unpersist()
     return labels

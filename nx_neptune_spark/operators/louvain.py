@@ -36,12 +36,22 @@ def louvain_communities(
     weight: str | None = "weight",
     max_levels: int = 5,
     max_iterations: int = 10,
+    iteration_tolerance: float = 0.0,
+    level_tolerance: float = 0.0,
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """Returns DataFrame(vid long, community long).
 
     Community ids are the minimum original vid contained in the
     community (deterministic representative).
+
+    ``iteration_tolerance`` (reference threshold -> iterationTolerance,
+    louvain.py:101-102): stop a level's local-moving sweeps when the
+    modularity gain of a sweep falls below it. ``level_tolerance``
+    (louvain.py:59,81): stop adding levels when the modularity gain
+    between two levels falls below it. Both default to 0.0 = off
+    (structural convergence only), matching warn-free acceptance of the
+    reference's parameter surface.
     """
     spark = graph.spark
     cp = checkpoint or CheckpointManager(spark, algorithm="louvain")
@@ -56,9 +66,19 @@ def louvain_communities(
     mapping = graph.vertices.select("vid", F.col("vid").alias("node"))
     mapping = cp.truncate(mapping)
 
+    prev_q: float | None = None
     for _level in range(max_levels):
         edges = cp.truncate(edges)
-        comm = _local_moving(edges, cp, max_iterations)
+        comm = _local_moving(edges, cp, max_iterations, iteration_tolerance)
+        if level_tolerance > 0.0:
+            two_m = edges.agg(F.sum("w")).first()[0] or 1.0
+            deg = edges.groupBy("src").agg(F.sum("w").alias("k")).withColumnRenamed(
+                "src", "vid"
+            )
+            q = _modularity(edges, comm, deg, float(two_m))
+            if prev_q is not None and q - prev_q < level_tolerance:
+                break
+            prev_q = q
         # did anything merge?
         n_nodes = edges.select(F.col("src").alias("n")).unionAll(
             edges.select(F.col("dst"))
@@ -89,7 +109,35 @@ def louvain_communities(
     return mapping.join(rep, "node").select("vid", "community")
 
 
-def _local_moving(edges: DataFrame, cp: CheckpointManager, max_iterations: int) -> DataFrame:
+def _modularity(
+    edges: DataFrame, comm: DataFrame, deg: DataFrame, two_m: float
+) -> float:
+    """Q = intra/2m - sum_c (sigma_c/2m)^2 over the symmetric
+    (double-counted) edge representation; self-loop rows carry the full
+    both-direction internal mass, so Q is invariant under contraction."""
+    cs = comm.select(F.col("vid").alias("src"), F.col("c").alias("cs"))
+    cd = comm.select(F.col("vid").alias("dst"), F.col("c").alias("cd"))
+    intra = (
+        edges.join(cs, "src").join(cd, "dst").where(F.col("cs") == F.col("cd"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0.0)))
+        .first()[0]
+    )
+    sigma_sq = (
+        comm.join(deg, "vid")
+        .groupBy("c")
+        .agg(F.sum("k").alias("sigma"))
+        .agg(F.coalesce(F.sum(F.col("sigma") * F.col("sigma")), F.lit(0.0)))
+        .first()[0]
+    )
+    return float(intra) / two_m - float(sigma_sq) / (two_m * two_m)
+
+
+def _local_moving(
+    edges: DataFrame,
+    cp: CheckpointManager,
+    max_iterations: int,
+    iteration_tolerance: float = 0.0,
+) -> DataFrame:
     """One level of parallel local moving. edges: symmetric (src,dst,w).
     Returns (vid, c)."""
     spark = edges.sparkSession
@@ -172,6 +220,15 @@ def _local_moving(edges: DataFrame, cp: CheckpointManager, max_iterations: int) 
             .limit(1)
             .count()
         )
+        if iteration_tolerance > 0.0 and changed:
+            # reference iterationTolerance: stop sweeping when a sweep's
+            # modularity gain drops below the threshold
+            q_old = _modularity(edges, comm, deg, float(two_m))
+            q_new = _modularity(edges, new_comm, deg, float(two_m))
+            if q_new - q_old < iteration_tolerance:
+                if q_new >= q_old:
+                    comm = new_comm
+                break
         comm = new_comm
         if changed == 0 and it % 2 == 1:  # both parities settled
             break

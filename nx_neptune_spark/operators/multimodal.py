@@ -83,14 +83,20 @@ def image_metadata(media: DataFrame, id_col: str = "media_id", bin_col: str = "m
             n_bytes = pdf[bin_col].map(lambda b: len(b) if b is not None else 0).to_numpy(
                 dtype="int64"
             )
-            try:
-                dims = [_try_real_decode(b) for b in pdf[bin_col]]
-                width = np.array([d[0] for d in dims], dtype="int32")
-                height = np.array([d[1] for d in dims], dtype="int32")
-                fmt = [d[2] for d in dims]
-            except NotImplementedError:
-                width, height = _fake_dims(n_bytes)
-                fmt = ["FAKE"] * len(pdf)
+            # Per-element fallback: if PIL is present but a blob is not
+            # a decodable image (UnidentifiedImageError/OSError/...),
+            # only that element falls back to the deterministic fake
+            # decoder -- one bad blob must not fail the whole batch.
+            fw, fh = _fake_dims(n_bytes)
+            dims = []
+            for i, b in enumerate(pdf[bin_col]):
+                try:
+                    dims.append(_try_real_decode(b))
+                except Exception:
+                    dims.append((int(fw[i]), int(fh[i]), "FAKE"))
+            width = np.array([d[0] for d in dims], dtype="int32")
+            height = np.array([d[1] for d in dims], dtype="int32")
+            fmt = [d[2] for d in dims]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(dtype="int64"),

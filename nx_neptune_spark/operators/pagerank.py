@@ -138,38 +138,66 @@ def pagerank(
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None
 
-    # Fast path: fixed depth + no dangling mass + no durable checkpoints
-    # -> build the whole multi-iteration plan lazily (each iteration is
-    # one shuffle stage) with lineage truncation every few iterations.
-    # Zero per-iteration driver actions; Spark schedules the stages
-    # back-to-back in a single job.
-    lazy_ok = (
-        fixed_iterations is not None
-        and not has_dangling
-        and (checkpoint is None or checkpoint.checkpoint_dir is None)
+    # Fast path: fixed depth + no durable checkpoints -> build the whole
+    # multi-iteration plan lazily (each iteration is one shuffle stage)
+    # with lineage truncation every few iterations. Zero per-iteration
+    # driver actions; Spark schedules the stages back-to-back in a
+    # single job. Dangling mass is handled WITHOUT a per-iteration
+    # action via mass conservation: the rank vector sums to exactly 1
+    # every iteration (x0 normalized; each update preserves the total),
+    # and sum(contribs) equals the mass held by non-dangling vertices
+    # (each distributes shares summing to 1), so
+    #   danglesum = 1 - sum(contribs)
+    # -- a 1-row aggregate over the already-shuffled contribs, folded
+    # back in with a broadcast cross join (its exchange is shared with
+    # the rank-update branch via ReusedExchange).
+    lazy_ok = fixed_iterations is not None and (
+        checkpoint is None or checkpoint.checkpoint_dir is None
     )
     if lazy_ok:
         for it in range(start_iter, limit):
             contribs = salted_sum(
                 links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
-                    "dst", (F.col("rank") * F.col("share")).alias("c")
+                    "src", "dst", (F.col("rank") * F.col("share")).alias("c")
                 ),
                 key="dst",
                 value=F.col("c"),
                 out="contrib",
                 salt_buckets=salt_buckets,
-                salt_from="dst",
+                salt_from="src",
             )
-            ranks = (
-                meta.join(contribs, meta.vid == contribs.dst, "left")
-                .select(
-                    "vid",
-                    (
-                        F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(1.0 - alpha) * F.col("p")
-                    ).alias("rank"),
+            if has_dangling:
+                dsum = contribs.agg(
+                    (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias(
+                        "__danglesum"
+                    )
                 )
-            )
+                ranks = (
+                    meta.join(contribs, meta.vid == contribs.dst, "left")
+                    .crossJoin(F.broadcast(dsum))
+                    .select(
+                        "vid",
+                        (
+                            F.lit(alpha)
+                            * (
+                                F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + F.col("__danglesum") * F.col("dw")
+                            )
+                            + F.lit(1.0 - alpha) * F.col("p")
+                        ).alias("rank"),
+                    )
+                )
+            else:
+                ranks = (
+                    meta.join(contribs, meta.vid == contribs.dst, "left")
+                    .select(
+                        "vid",
+                        (
+                            F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(1.0 - alpha) * F.col("p")
+                        ).alias("rank"),
+                    )
+                )
             if (it + 1) % 5 == 0 and it != limit - 1:
                 ranks = cp.truncate(ranks)
         out = ranks.select("vid", "rank").localCheckpoint(eager=True)
@@ -181,13 +209,13 @@ def pagerank(
     for it in range(start_iter, limit):
         contribs = salted_sum(
             links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
-                "dst", (F.col("rank") * F.col("share")).alias("c")
+                "src", "dst", (F.col("rank") * F.col("share")).alias("c")
             ),
             key="dst",
             value=F.col("c"),
             out="contrib",
             salt_buckets=salt_buckets,
-            salt_from="dst",
+            salt_from="src",
         )
         new_ranks = (
             meta.join(contribs, meta.vid == contribs.dst, "left")

@@ -45,9 +45,12 @@ def create_csv_table(
     and read_vertex_csv/read_edge_csv handle the Gremlin typed headers).
     """
     validate_sql_identifier(table)
+    # path is interpolated into a SQL string literal -> escape single
+    # quotes (same anti-smuggling contract as validate_sql_identifier)
+    safe_path = path.replace("'", "''")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table} USING csv "
-        f"OPTIONS (path '{path}', header '{str(header).lower()}', inferSchema 'true')"
+        f"OPTIONS (path '{safe_path}', header '{str(header).lower()}', inferSchema 'true')"
     )
 
 

@@ -70,3 +70,47 @@ def nx_pagerank(
         if err < N * tol:
             return x
     raise nx.PowerIterationFailedConvergence(max_iter)
+
+
+def nx_pagerank_fixed(
+    g,
+    iterations,
+    alpha=0.85,
+    personalization=None,
+    nstart=None,
+    weight="weight",
+    dangling=None,
+):
+    """NetworkX power-iteration semantics run for EXACTLY ``iterations``
+    steps (no convergence stop) -- oracle for the engine's
+    fixed_iterations/lazy path."""
+    if len(g) == 0:
+        return {}
+    D = g.to_directed()
+    W = nx.stochastic_graph(D, weight=weight)
+    N = W.number_of_nodes()
+    if nstart is None:
+        x = dict.fromkeys(W, 1.0 / N)
+    else:
+        s = float(sum(nstart.values()))
+        x = {k: nstart[k] / s for k in W}
+    if personalization is None:
+        p = dict.fromkeys(W, 1.0 / N)
+    else:
+        s = float(sum(personalization.values()))
+        p = {k: personalization.get(k, 0) / s for k in W}
+    if dangling is None:
+        dangling_weights = p
+    else:
+        s = float(sum(dangling.values()))
+        dangling_weights = {k: dangling.get(k, 0) / s for k in W}
+    dangling_nodes = [n for n in W if W.out_degree(n, weight=weight) == 0.0]
+    for _ in range(iterations):
+        xlast = x
+        x = dict.fromkeys(xlast.keys(), 0)
+        danglesum = alpha * sum(xlast[n] for n in dangling_nodes)
+        for n in x:
+            for _, nbr, wt in W.edges(n, data=weight):
+                x[nbr] += alpha * xlast[n] * wt
+            x[n] += danglesum * dangling_weights.get(n, 0) + (1.0 - alpha) * p.get(n, 0)
+    return x

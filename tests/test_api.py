@@ -100,3 +100,77 @@ def test_louvain_api_shape_and_warns(spark):
         comms = api.louvain_communities(lg, resolution=1.2, seed=7)
     assert any("resolution" in str(x.message) for x in w)
     assert sorted(map(sorted, comms)) == [["A", "B", "C"], ["D", "E", "F"]]
+
+
+def test_mutate_variants_write_property(spark):
+    """write_property mutate variants for degree/closeness/LPA/Louvain
+    (reference mutate builders opencypher_builder.py:804-984): the score
+    column must land on graph.vertices and the call return empty."""
+    g = two_triangles_bridge()
+
+    lg = LinkGraph.from_networkx(spark, g)
+    assert api.degree_centrality(lg, write_property="deg") == {}
+    assert "deg" in lg.vertices.columns
+    want = {str(k): v for k, v in nx.degree_centrality(g).items()}
+    got = {r["name"]: r["deg"] for r in lg.vertices.collect()}
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12)
+
+    assert api.closeness_centrality(lg, write_property="clo") == {}
+    assert "clo" in lg.vertices.columns
+    want = nx.closeness_centrality(g)
+    got = {r["name"]: r["clo"] for r in lg.vertices.collect()}
+    for k in want:
+        assert math.isclose(got[str(k)], want[k], abs_tol=1e-9)
+
+    assert list(api.label_propagation_communities(lg, write_property="comm")) == []
+    assert "comm" in lg.vertices.columns
+    labels = {r["name"]: r["comm"] for r in lg.vertices.collect()}
+    assert len(set(labels.values())) == 2
+    assert labels["A"] == labels["B"] == labels["C"]
+
+    assert api.louvain_communities(lg, write_property="louv") == []
+    assert "louv" in lg.vertices.columns
+    labels = {r["name"]: r["louv"] for r in lg.vertices.collect()}
+    assert labels["A"] == labels["B"] == labels["C"] != labels["D"]
+
+
+def test_mutate_guard_rejects_bad_property(spark):
+    """validate_mutate_execution_config analog (algorithm_utils.py:41-61 /
+    nx_plugin/config.py:195-202): invalid or core-colliding property
+    names are rejected before any compute."""
+    import pytest as _pytest
+
+    lg = LinkGraph.from_networkx(spark, two_triangles_bridge())
+    with _pytest.raises(ValueError):
+        api.degree_centrality(lg, write_property="bad name; drop")
+    with _pytest.raises(ValueError):
+        api.pagerank(lg, write_property="vid")
+
+
+def test_closeness_single_source_fast_path(spark):
+    """u= must run a single-source BFS (reference source-list query form,
+    opencypher_builder.py:860-905), not all-pairs-then-index."""
+    g = airport_cycle()
+    lg = LinkGraph.from_networkx(spark, g)
+    got = api.closeness_centrality(lg, u="LAX")
+    assert math.isclose(got, nx.closeness_centrality(g, u="LAX"), abs_tol=1e-9)
+
+
+def test_louvain_threshold_and_level_tolerance_wired(spark):
+    """threshold -> iterationTolerance, level_tolerance -> levelTolerance
+    (reference louvain.py:101-118): accepted without warning and a huge
+    threshold stops refinement early (coarser or equal communities)."""
+    lg = LinkGraph.from_networkx(spark, two_triangles_bridge())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comms = api.louvain_communities(lg, threshold=1e-07, level_tolerance=1e-07)
+    assert not [x for x in w if "threshold" in str(x.message)]
+    assert sorted(map(sorted, comms)) == [["A", "B", "C"], ["D", "E", "F"]]
+    # a threshold larger than any achievable gain halts local moving
+    # after its first sweep (the sweep's own moves are kept when they
+    # improve modularity -- reference iterationTolerance stops
+    # *iterating*, it doesn't veto the executed sweep)
+    giant = api.louvain_communities(lg, threshold=1e9)
+    assert {m for c in giant for m in c} == {"A", "B", "C", "D", "E", "F"}
+    assert len(giant) >= len(comms)  # strictly less refined or equal

@@ -1,0 +1,76 @@
+"""NetworkX backend dispatch: ``backend="spark"`` must route through
+nx_neptune_spark.interface.BackendInterface and agree with native
+NetworkX, modeled on the reference's BACKEND-switch integ pattern
+(/root/reference/integ_test/utils/test_utils.py:26-28)."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from oracles import nx_pagerank
+from fixtures_graphs import two_triangles_bridge
+
+
+@pytest.fixture(scope="module", autouse=True)
+def backend(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    yield "spark"
+
+
+def test_pagerank_dispatch_parity(spark):
+    g = nx.DiGraph([(0, 1), (1, 2), (2, 0), (2, 3)])  # int node keys
+    got = nx.pagerank(g, backend="spark")
+    want = nx_pagerank(g)  # native semantics (scipy absent -> pure python oracle)
+    assert set(got) == set(want) == {0, 1, 2, 3}  # original key types preserved
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-6)
+
+
+def test_community_dispatch_parity(spark):
+    g = two_triangles_bridge()
+    got = {frozenset(c) for c in nx.community.label_propagation_communities(g, backend="spark")}
+    want = {frozenset(c) for c in nx.community.label_propagation_communities(g)}
+    assert got == want
+
+
+def test_degree_centrality_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.degree_centrality(g, backend="spark")
+    want = nx.degree_centrality(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12)
+
+
+def test_bfs_and_descendants_dispatch(spark):
+    g = nx.path_graph(6)
+    got = set(nx.descendants_at_distance(g, 0, 3, backend="spark"))
+    assert got == nx.descendants_at_distance(g, 0, 3)
+    layers_got = [sorted(l) for l in nx.bfs_layers(g, [0], backend="spark")]
+    layers_want = [sorted(l) for l in nx.bfs_layers(g, [0])]
+    assert layers_got == layers_want
+
+
+def test_bfs_edges_sort_neighbors_warns(spark):
+    g = nx.path_graph(4)
+    with pytest.warns(UserWarning, match="sort_neighbors"):
+        list(nx.bfs_edges(g, 0, sort_neighbors=sorted, backend="spark"))
+
+
+def test_triangles_and_components_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.triangles(g, backend="spark")
+    assert got == nx.triangles(g)
+    cc_got = {frozenset(c) for c in nx.connected_components(g, backend="spark")}
+    cc_want = {frozenset(c) for c in nx.connected_components(g)}
+    assert cc_got == cc_want
+
+
+def test_native_path_still_works_after_registration(spark):
+    g = nx.Graph([(0, 1), (2, 3)])  # two components
+    # registration must not hijack backend=None calls
+    want = {frozenset(c) for c in nx.connected_components(g)}
+    assert want == {frozenset({0, 1}), frozenset({2, 3})}

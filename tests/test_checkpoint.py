@@ -70,3 +70,55 @@ def test_manifest_contents(spark, tmp_path):
     assert man["metrics"]["shuffle_partitions"] is not None
     assert man["metrics"]["delta"] is None or man["metrics"]["delta"] >= 0
     assert all(p["file"].startswith("part-") for p in man["partition_lineage"])
+
+
+def test_cc_resume_mid_run_identical(spark, tmp_path):
+    """Kill connected-components mid-run, resume from the manifest,
+    assert the final component map is identical (VERDICT r1 item 9)."""
+    from nx_neptune_spark.operators.components import connected_components
+
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    ckdir = str(tmp_path / "cc_ck")
+
+    cp_full = CheckpointManager(spark, ckdir, run_id="full", algorithm="cc")
+    full = {r["vid"]: r["component"] for r in connected_components(lg, checkpoint=cp_full).collect()}
+
+    # interrupted run: cap at 1 star-contraction round (simulated kill)
+    cp_a = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="cc")
+    connected_components(lg, max_iter=1, checkpoint=cp_a)
+    m = cp_a.latest_manifest()
+    assert m is not None and m["metrics"]["iteration"] == 0
+    assert m["partition_lineage"]
+
+    cp_b = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="cc")
+    resumed = {
+        r["vid"]: r["component"] for r in connected_components(lg, checkpoint=cp_b).collect()
+    }
+    assert resumed == full
+    assert cp_b.latest_manifest()["complete"] is True
+
+
+def test_lpa_resume_mid_run_identical(spark, tmp_path):
+    """Kill LPA mid-run, resume, assert identical final labels."""
+    from fixtures_graphs import two_triangles_bridge
+    from nx_neptune_spark.operators.label_propagation import label_propagation
+
+    g = two_triangles_bridge()
+    lg = LinkGraph.from_networkx(spark, g)
+    ckdir = str(tmp_path / "lpa_ck")
+
+    cp_full = CheckpointManager(spark, ckdir, run_id="full", algorithm="lpa")
+    full = {r["vid"]: r["label"] for r in label_propagation(lg, checkpoint=cp_full).collect()}
+
+    cp_a = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="lpa")
+    label_propagation(lg, max_iterations=1, checkpoint=cp_a)
+    m = cp_a.latest_manifest()
+    assert m is not None and m["metrics"]["iteration"] == 0
+
+    cp_b = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="lpa")
+    resumed = {
+        r["vid"]: r["label"] for r in label_propagation(lg, checkpoint=cp_b).collect()
+    }
+    assert resumed == full
+    assert cp_b.latest_manifest()["complete"] is True

@@ -117,3 +117,49 @@ def test_projection_shapes(spark, sf_dir):
 
     with pytest.raises(ValueError):
         validate_projection(docs.select(F.col("doc_id").alias("id")), "NODE")
+
+
+def test_insert_edges_preserves_weight_and_properties(spark):
+    """ADVICE r1: insert_edges must not project existing edges down to
+    (src,dst) -- weight/properties columns survive the upsert."""
+    edges = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 2, 7.0)], "src long, dst long, weight double"
+    )
+    vertices = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C")], "vid long, name string"
+    )
+    g = LinkGraph(edges, vertices, directed=True)
+    g = update_edges(g, [("A", "B")], "kind", "strong")  # adds properties col
+    g2 = insert_edges(g, [("B", "A"), ("A", "B")])  # one new, one existing
+    rows = {(r["src"], r["dst"]): r for r in g2.edges.collect()}
+    assert rows[(0, 1)]["weight"] == 2.5  # existing row kept verbatim
+    assert rows[(0, 1)]["properties"] == {"kind": "strong"}
+    assert rows[(1, 2)]["weight"] == 7.0
+    assert rows[(1, 0)]["weight"] is None  # new edge: nulls for unset cols
+    assert len(rows) == 3
+
+
+def test_insert_nodes_deterministic_vids(spark):
+    """ADVICE r1: new vids must be deterministic (sorted dense ids), not
+    partition-layout-dependent zipWithIndex output."""
+    g = g0(spark)
+    names = ["zeta", "alpha", "mid", "beta", "tail", "omega"]
+    vids1 = insert_nodes(g, names).vid_of()
+    vids2 = insert_nodes(g, list(reversed(names))).vid_of()
+    assert vids1 == vids2
+    base = max(g.vid_of().values())
+    new_sorted = sorted(names)
+    for i, n in enumerate(new_sorted):
+        assert vids1[n] == base + 1 + i
+
+
+def test_create_csv_table_escapes_path(spark, tmp_path):
+    """ADVICE r1: single quotes in the path cannot smuggle SQL."""
+    from nx_neptune_spark.sources.tables import create_csv_table, drop_table
+
+    d = tmp_path / "it's data"
+    d.mkdir()
+    (d / "x.csv").write_text("a,b\n1,2\n")
+    create_csv_table(spark, "quoted_path_tbl", str(d))
+    assert spark.table("quoted_path_tbl").count() == 1
+    drop_table(spark, "quoted_path_tbl")

@@ -100,6 +100,70 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
         assert j >= 0.4
 
 
+def test_jaccard_stopword_skew(spark):
+    """One hot shingle shared by ALL docs (a stop-shingle). With
+    max_bucket below the corpus size the hot bucket must be dropped from
+    candidate generation, and the verify join must stay bounded by the
+    candidate set (dedup.py restricts the shingle self-join to candidate
+    doc ids, so the hot shingle cannot explode the intermediate)."""
+    n = 60
+    rows = []
+    for i in range(n):
+        # every doc starts with the same 3 words -> one shingle in all docs
+        extra = f"group{i % 6} item{i % 6} tail{i % 6}" if i % 2 == 0 else f"solo{i} x{i} y{i}"
+        rows.append((i, f"the common prefix {extra}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.3, max_bucket=20).collect()
+    }
+    # python oracle: candidates = pairs sharing a shingle whose corpus
+    # bucket is <= max_bucket; jaccard over the FULL shingle sets
+    texts = dict(rows)
+    sh = {i: py_shingles(t) for i, t in texts.items()}
+    from collections import Counter
+
+    width = Counter(s for ss in sh.values() for s in ss)
+    ok = {s for s, w in width.items() if w <= 20}
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if sh[a] & sh[b] & ok:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k2, v in got.items():
+        assert math.isclose(v, want[k2], abs_tol=1e-12)
+
+
+def test_short_and_empty_docs_shingle_spec(spark):
+    """Docs shorter than k words emit one whole-document shingle (the
+    empty string for blank docs) in BOTH the Spark path and the DuckDB
+    oracle (__spark_entry__._SHINGLE_CTES) -- pinned here."""
+    rows = [(0, ""), (1, "hi"), (2, "one two"), (3, "one two three four")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert set(sigs) == {0, 1, 2, 3}  # nobody dropped
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    import __spark_entry__ as entry
+
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(entry.oracle_sql()["minhash_signatures"]).fetchall()
+    }
+    assert oracle == sigs
+    # pairs: doc 0 ("") and doc 1 ("hi") share nothing; 2 vs 3 share no
+    # full shingle; exact dups of a short doc must still pair up
+    docs2 = spark.createDataFrame(rows + [(4, "hi")], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in jaccard_pairs(docs2, threshold=0.99).collect()}
+    assert (1, 4) in pairs
+
+
 def test_simhash(spark, docs):
     fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fps[0] == fps[2]  # exact dups
@@ -137,11 +201,11 @@ def test_lsh_topk_recall(spark, emb):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=3).collect()
-    approx = lsh_topk(emb, queries, dim=64, k=3, tables=6, planes=4).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=3, tables=12, planes=4).collect()
     exact_s = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_s = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_s & approx_s) / len(exact_s)
-    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
     # approximate scores that do appear must be exact cosines
     ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
     for r in approx:

@@ -72,7 +72,7 @@ def test_entry_smoke(spark):
 
 def test_rows_only_queries_run(spark, sf_dir):
     names = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    assert names == {"ann_topk_lsh", "embedding_near_dup_lsh", "pages_pagerank"}
+    assert names == {"pages_pagerank"}
     for name in sorted(names):
         df = entrymod.queries()[name](spark, sf_dir)
         assert df.count() >= 0

@@ -52,6 +52,30 @@ def test_communities_shape(spark):
     assert {tuple(r["members"]) for r in rows} == {(0, 1, 2), (3, 4, 5)}
 
 
+def test_digraph_reciprocal_edges_not_double_counted(spark):
+    """A digraph containing BOTH (a,b) and (b,a) must behave like
+    G.to_undirected(): that neighbor's vote has weight 1, not 2.
+    Fixture: vertex X between two 3-cliques; X->clique1 edges are
+    reciprocal (stored both directions), X->clique2 edges one-way. With
+    double-counting, clique1's pull on X would be doubled and the
+    tie-break would flip; with to_undirected semantics the two sides
+    stay symmetric and X joins the lower-labeled community."""
+    g = nx.DiGraph()
+    # clique 1: A B C, clique 2: D E F (stored one direction; LPA
+    # symmetrizes internally)
+    for u, v in [("A", "B"), ("B", "C"), ("A", "C")]:
+        g.add_edge(u, v)
+    for u, v in [("D", "E"), ("E", "F"), ("D", "F")]:
+        g.add_edge(u, v)
+    # X connects to B and E; X<->B stored BOTH directions (reciprocal)
+    g.add_edge("X", "B")
+    g.add_edge("B", "X")
+    g.add_edge("X", "E")
+    got = comm_sets(spark, g)
+    und = comm_sets(spark, nx.Graph(g.to_undirected()))
+    assert got == und
+
+
 def test_single_node_and_empty(spark):
     g = nx.Graph()
     g.add_node("A")

@@ -114,6 +114,41 @@ def test_nstart_and_dangling(spark):
     assert_allclose(got, want)
 
 
+def test_fixed_iterations_lazy_dangling(spark, tmp_path):
+    """The zero-action lazy plan now covers dangling graphs (danglesum =
+    1 - sum(contribs) by mass conservation). It must match (a) the eager
+    per-iteration-action path bit-for-bit-ish and (b) NetworkX run to
+    convergence."""
+    from nx_neptune_spark.plans.checkpoint import CheckpointManager
+
+    g = chain_digraph()  # chain tail has no out-edges -> dangling mass
+    got_lazy = run_spark_pagerank(spark, g, fixed_iterations=60)
+    # durable checkpoint dir forces the eager path at the same depth
+    cp = CheckpointManager(spark, str(tmp_path / "pr_eager"), algorithm="pagerank")
+    got_eager = run_spark_pagerank(spark, g, fixed_iterations=60, checkpoint=cp)
+    assert_allclose(got_lazy, got_eager, tol=1e-9)
+    from oracles import nx_pagerank_fixed
+
+    assert_allclose(got_lazy, nx_pagerank_fixed(g, 60), tol=1e-9)
+
+
+def test_fixed_iterations_lazy_dangling_custom_weights(spark):
+    """Lazy dangling path with a non-default dangling distribution."""
+    g = chain_digraph()
+    dang = {"A": 2.0, "B": 1.0}
+    lg = LinkGraph.from_networkx(spark, g)
+    vid, names = lg.vid_of(), lg.name_of()
+    got = {
+        names[r["vid"]]: r["rank"]
+        for r in pagerank(
+            lg, dangling={vid[k]: v for k, v in dang.items()}, fixed_iterations=60
+        ).collect()
+    }
+    from oracles import nx_pagerank_fixed
+
+    assert_allclose(got, nx_pagerank_fixed(g, 60, dangling=dang), tol=1e-9)
+
+
 def test_non_convergence_raises(spark):
     g = gnp_digraph()
     lg = LinkGraph.from_networkx(spark, g)
