@@ -74,9 +74,14 @@ def pagerank(
     vertex_label: str | None = None,
     edge_labels: list | None = None,
     concurrency: int | None = None,
+    traversal_direction: str | None = None,
     write_property: str | None = None,
 ) -> dict:
     """NetworkX-shaped pagerank: returns {node_name: rank}.
+
+    traversal_direction: "outbound" (default) or "inbound"
+    (reference pagerank.py:63,86,125-126) -- inbound runs the power
+    iteration over the reversed edge set.
 
     Signature parity: /root/reference/nx_neptune/algorithms/link_analysis/
     pagerank.py:50-194. Unlike the reference (which warns-and-ignores
@@ -100,8 +105,17 @@ def pagerank(
             return None
         return {vid_of[str(k)]: v for k, v in d.items()}
 
+    if traversal_direction not in (None, "outbound", "inbound"):
+        raise ValueError(
+            f"traversal_direction must be 'outbound' or 'inbound', got {traversal_direction!r}"
+        )
+    run_graph = graph
+    if traversal_direction == "inbound" and graph.directed:
+        run_graph = LinkGraph(
+            graph.reversed_edges(), graph.vertices, directed=True
+        )
     result = _pr(
-        graph,
+        run_graph,
         alpha=alpha,
         personalization=to_vids(personalization),
         max_iter=max_iter,

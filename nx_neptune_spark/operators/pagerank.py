@@ -124,8 +124,16 @@ def pagerank(
     cp = checkpoint or CheckpointManager(spark, algorithm="pagerank")
 
     # danglesum over x0 (first iteration needs it before any delta pass);
-    # dangling-free graphs skip the extra aggregation action entirely
-    has_dangling = meta.where(F.col("is_dangling")).limit(1).count() > 0
+    # dangling-free graphs skip the extra aggregation action entirely.
+    # min_vid guards the lazy path's dst=-1 sentinel (vids are dense
+    # non-negative by construction, graph.py:50, but a hand-built
+    # LinkGraph could violate that).
+    flags = meta.agg(
+        F.max(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("d"),
+        F.min("vid").alias("mv"),
+    ).first()
+    has_dangling = bool(flags["d"])
+    min_vid = flags["mv"] if flags["mv"] is not None else 0
     danglesum = 0.0
     if has_dangling:
         danglesum = (
@@ -143,21 +151,33 @@ def pagerank(
     # with lineage truncation every few iterations. Zero per-iteration
     # driver actions; Spark schedules the stages back-to-back in a
     # single job. Dangling mass is handled WITHOUT a per-iteration
-    # action via mass conservation: the rank vector sums to exactly 1
-    # every iteration (x0 normalized; each update preserves the total),
-    # and sum(contribs) equals the mass held by non-dangling vertices
-    # (each distributes shares summing to 1), so
-    #   danglesum = 1 - sum(contribs)
-    # -- a 1-row aggregate over the already-shuffled contribs, folded
-    # back in with a broadcast cross join (its exchange is shared with
-    # the rank-update branch via ReusedExchange).
+    # action via a SENTINEL EDGE: every dangling vertex gets a link to
+    # dst = -1 with share 1.0, so the regular contribs aggregate also
+    # produces danglesum as the contrib of key -1 -- the exact direct
+    # sum over dangling ranks (same arithmetic as the eager path), in
+    # the SAME single exchange. The 1-row filter on that key folds back
+    # in with a broadcast cross join (AQE's shuffle-stage cache serves
+    # both consumers from one materialized exchange).
     lazy_ok = fixed_iterations is not None and (
         checkpoint is None or checkpoint.checkpoint_dir is None
     )
     if lazy_ok:
+        lz_links = links
+        if has_dangling:
+            sentinel_dst = min(-1, int(min_vid) - 1)
+            sentinel = dangling_vids.select(
+                F.col("vid").alias("src"),
+                F.lit(sentinel_dst).cast("long").alias("dst"),
+                F.lit(1.0).alias("share"),
+            )
+            lz_links = (
+                links.unionByName(sentinel)
+                .repartition(npart, "src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         for it in range(start_iter, limit):
             contribs = salted_sum(
-                links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
+                lz_links.join(_hinted(ranks, join_hint), lz_links.src == ranks.vid).select(
                     "src", "dst", (F.col("rank") * F.col("share")).alias("c")
                 ),
                 key="dst",
@@ -167,10 +187,14 @@ def pagerank(
                 salt_from="src",
             )
             if has_dangling:
-                dsum = contribs.agg(
-                    (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias(
-                        "__danglesum"
-                    )
+                # contribs is consumed twice (rank update + danglesum
+                # row). Cut its lineage with a LAZY localCheckpoint: no
+                # driver action now, one materialization at job time
+                # serving both consumers, and the logical plan stays
+                # linear in iterations instead of doubling per iteration.
+                contribs = contribs.localCheckpoint(eager=False)
+                dsum = contribs.where(F.col("dst") == sentinel_dst).select(
+                    F.col("contrib").alias("__danglesum")
                 )
                 ranks = (
                     meta.join(contribs, meta.vid == contribs.dst, "left")
@@ -201,6 +225,8 @@ def pagerank(
             if (it + 1) % 5 == 0 and it != limit - 1:
                 ranks = cp.truncate(ranks)
         out = ranks.select("vid", "rank").localCheckpoint(eager=True)
+        if lz_links is not links:
+            lz_links.unpersist()
         links.unpersist()
         meta.unpersist()
         return out

@@ -174,3 +174,20 @@ def test_louvain_threshold_and_level_tolerance_wired(spark):
     giant = api.louvain_communities(lg, threshold=1e9)
     assert {m for c in giant for m in c} == {"A", "B", "C", "D", "E", "F"}
     assert len(giant) >= len(comms)  # strictly less refined or equal
+
+
+def test_pagerank_traversal_direction_inbound(spark):
+    """traversal_direction='inbound' (reference pagerank.py:63,125-126)
+    == PageRank over the reversed digraph."""
+    g = chain_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    got = api.pagerank(lg, traversal_direction="inbound")
+    from oracles import nx_pagerank as _nxpr
+
+    want = _nxpr(g.reverse())
+    for k, v in want.items():
+        assert math.isclose(got[str(k)], v, abs_tol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.pagerank(lg, traversal_direction="sideways")

@@ -115,21 +115,22 @@ def test_nstart_and_dangling(spark):
 
 
 def test_fixed_iterations_lazy_dangling(spark, tmp_path):
-    """The zero-action lazy plan now covers dangling graphs (danglesum =
-    1 - sum(contribs) by mass conservation). It must match (a) the eager
-    per-iteration-action path bit-for-bit-ish and (b) NetworkX run to
-    convergence."""
+    """The zero-action lazy plan now covers dangling graphs (danglesum
+    arrives as the contrib of a sentinel dst=-1 edge from each dangling
+    vertex -- same single exchange). It must match (a) the eager
+    per-iteration-action path at 1e-9 and (b) the fixed-iteration
+    NetworkX-semantics oracle."""
     from nx_neptune_spark.plans.checkpoint import CheckpointManager
 
     g = chain_digraph()  # chain tail has no out-edges -> dangling mass
-    got_lazy = run_spark_pagerank(spark, g, fixed_iterations=60)
+    got_lazy = run_spark_pagerank(spark, g, fixed_iterations=20)
     # durable checkpoint dir forces the eager path at the same depth
     cp = CheckpointManager(spark, str(tmp_path / "pr_eager"), algorithm="pagerank")
-    got_eager = run_spark_pagerank(spark, g, fixed_iterations=60, checkpoint=cp)
+    got_eager = run_spark_pagerank(spark, g, fixed_iterations=20, checkpoint=cp)
     assert_allclose(got_lazy, got_eager, tol=1e-9)
     from oracles import nx_pagerank_fixed
 
-    assert_allclose(got_lazy, nx_pagerank_fixed(g, 60), tol=1e-9)
+    assert_allclose(got_lazy, nx_pagerank_fixed(g, 20), tol=1e-9)
 
 
 def test_fixed_iterations_lazy_dangling_custom_weights(spark):
@@ -141,12 +142,12 @@ def test_fixed_iterations_lazy_dangling_custom_weights(spark):
     got = {
         names[r["vid"]]: r["rank"]
         for r in pagerank(
-            lg, dangling={vid[k]: v for k, v in dang.items()}, fixed_iterations=60
+            lg, dangling={vid[k]: v for k, v in dang.items()}, fixed_iterations=20
         ).collect()
     }
     from oracles import nx_pagerank_fixed
 
-    assert_allclose(got, nx_pagerank_fixed(g, 60, dangling=dang), tol=1e-9)
+    assert_allclose(got, nx_pagerank_fixed(g, 20, dangling=dang), tol=1e-9)
 
 
 def test_non_convergence_raises(spark):
