@@ -89,12 +89,17 @@ class LinkGraph:
         edges: DataFrame,
         vertices: DataFrame | None = None,
         directed: bool = True,
+        vids_non_negative: bool = False,
     ) -> None:
         cols = edges.columns
         assert "src" in cols and "dst" in cols, f"edges needs src/dst, got {cols}"
         self.spark: SparkSession = edges.sparkSession
         self.edges = edges
         self.directed = directed
+        # All engine constructors assign dense ids 0..N-1 and set this
+        # True; operators may then use negative sentinel keys without an
+        # up-front min(vid) aggregation. Hand-built graphs default False.
+        self.vids_non_negative = vids_non_negative
         if vertices is None:
             vertices = (
                 edges.select(F.col("src").alias("vid"))
@@ -145,7 +150,7 @@ class LinkGraph:
         else:
             erows = [(vid_of[str(p[0])], vid_of[str(p[1])]) for p in pairs]
             edges = spark.createDataFrame(erows, EDGE_SCHEMA)
-        return cls(edges, vertices, directed=directed)
+        return cls(edges, vertices, directed=directed, vids_non_negative=True)
 
     @classmethod
     def from_networkx(cls, spark: SparkSession, g) -> "LinkGraph":
@@ -197,7 +202,7 @@ class LinkGraph:
             )
             .select("src", "dst")
         )
-        return cls(edges, vertices, directed=directed)
+        return cls(edges, vertices, directed=directed, vids_non_negative=True)
 
     @classmethod
     def from_pages(cls, pages: DataFrame, directed: bool = True) -> "LinkGraph":
@@ -224,7 +229,7 @@ class LinkGraph:
             )
             .select("src", "dst")
         )
-        return cls(edges, vertices, directed=directed)
+        return cls(edges, vertices, directed=directed, vids_non_negative=True)
 
     # -- views ---------------------------------------------------------
 

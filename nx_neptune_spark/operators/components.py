@@ -79,16 +79,32 @@ def _star_contraction(
     spark = edges.sparkSession
     if edges.isEmpty():
         return spark.createDataFrame([], "vid long, component long")
-    e = cp.truncate(edges)
+    e = edges.localCheckpoint(eager=False)
     # resume from a durable checkpoint (the state IS the contracted edge
     # set; a completed manifest means e is already the star forest)
     start_iter, already_done = 0, False
     resumed = cp.resume()
     if resumed is not None:
         state, manifest = resumed
-        e = cp.truncate(state.select("u", "v"))
+        e = state.select("u", "v").localCheckpoint(eager=False)
         start_iter = int(manifest["metrics"]["iteration"]) + 1
         already_done = bool(manifest.get("complete"))
+
+    # (count, sum-of-row-hashes) multiset fingerprint: one key-less
+    # aggregate per side; equality of fingerprints on distinct sets
+    # implies set equality (mod a 2^-64 hash collision, acceptable for
+    # a convergence test of a monotone contraction that also has the
+    # iteration cap as a backstop). The previous round's fingerprint is
+    # CARRIED, so each round costs exactly one aggregate action -- which
+    # also materializes that round's lazily-checkpointed edge set.
+    def fp(df):
+        # decimal accumulator: long sum of 64-bit hashes overflows ANSI
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    fp_old = fp(e)
     for it in range(start_iter, 0 if already_done else max_iter):
         # ---- large-star ----
         sym = e.select("u", "v").unionAll(
@@ -118,24 +134,12 @@ def _star_contraction(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_e = cp.checkpoint(small, IterationMetrics(iteration=it))
-        # converged when the edge set is unchanged (star forest reached).
-        # Cheap check: compare (count, sum-of-row-hashes) fingerprints --
-        # one aggregate per side instead of a unioned symmetric
-        # difference; both sides are distinct sets so equality of the
-        # multiset fingerprint implies set equality (mod a 2^-64 hash
-        # collision, acceptable for a convergence test of a monotone
-        # contraction that also has the iteration cap as a backstop).
-        def fp(df):
-            # decimal accumulator: long sum of 64-bit hashes overflows ANSI
-            return df.agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            ).first()
-
-        fp_new, fp_old = fp(new_e), fp(e)
-        e = new_e
-        if fp_new["n"] == fp_old["n"] and fp_new["h"] == fp_old["h"]:
+        new_e = cp.checkpoint(small, IterationMetrics(iteration=it), lazy=True)
+        # converged when the edge set is unchanged (star forest reached)
+        fp_new = fp(new_e)
+        e, fp_old_prev = new_e, fp_old
+        fp_old = fp_new
+        if fp_new["n"] == fp_old_prev["n"] and fp_new["h"] == fp_old_prev["h"]:
             cp.finalize(it)
             break
     # star forest: v (child) -> u (root/min); roots map to themselves
@@ -175,6 +179,9 @@ def _min_label_propagation(
                 ).alias("component"),
             )
         )
+        # NOTE: not lazy -- the changed-check below is a short-circuit
+        # limit(1).count() that would leave the cache only partially
+        # materialized.
         new_labels = cp.checkpoint(new_labels, IterationMetrics(iteration=it))
         changed = (
             new_labels.alias("n")

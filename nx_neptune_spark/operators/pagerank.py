@@ -91,24 +91,27 @@ def pagerank(
     meta = _attach_dist(meta, nstart, "x0", default=1.0 / n, normalize=True)
 
     # --- static link table: share = w / out_weight_sum(src) --------------
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    links = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
-        .repartition(npart, "src")
+    # out_w doubles as the non-dangling vertex set (its keys are exactly
+    # the vertices with outgoing edges), so one persisted aggregate
+    # serves both the share normalization and dangling detection -- no
+    # second scan+distinct over the edge table.
+    out_w = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("out_w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dangling_vids = (
-        vertices.join(edges.select("src").distinct(), vertices.vid == F.col("src"), "left_anti")
-        .select("vid")
+    raw_links = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
     )
+    dangling_vids = vertices.join(
+        out_w, vertices.vid == F.col("src"), "left_anti"
+    ).select("vid")
     meta = (
         meta.join(dangling_vids.withColumn("is_dangling", F.lit(True)), "vid", "left")
         .withColumn("is_dangling", F.coalesce("is_dangling", F.lit(False)))
         .repartition(npart, "vid")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    meta.count()  # materialize static state once
 
     # --- init / resume ----------------------------------------------------
     start_iter = 0
@@ -122,26 +125,6 @@ def pagerank(
             if manifest.get("complete"):
                 return ranks
     cp = checkpoint or CheckpointManager(spark, algorithm="pagerank")
-
-    # danglesum over x0 (first iteration needs it before any delta pass);
-    # dangling-free graphs skip the extra aggregation action entirely.
-    # min_vid guards the lazy path's dst=-1 sentinel (vids are dense
-    # non-negative by construction, graph.py:50, but a hand-built
-    # LinkGraph could violate that).
-    flags = meta.agg(
-        F.max(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("d"),
-        F.min("vid").alias("mv"),
-    ).first()
-    has_dangling = bool(flags["d"])
-    min_vid = flags["mv"] if flags["mv"] is not None else 0
-    danglesum = 0.0
-    if has_dangling:
-        danglesum = (
-            meta.join(ranks, "vid")
-            .where(F.col("is_dangling"))
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
 
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None
@@ -162,19 +145,30 @@ def pagerank(
         checkpoint is None or checkpoint.checkpoint_dir is None
     )
     if lazy_ok:
-        lz_links = links
-        if has_dangling:
-            sentinel_dst = min(-1, int(min_vid) - 1)
-            sentinel = dangling_vids.select(
-                F.col("vid").alias("src"),
-                F.lit(sentinel_dst).cast("long").alias("dst"),
-                F.lit(1.0).alias("share"),
+        # ZERO pre-loop driver actions: the sentinel union is taken
+        # unconditionally (it contributes no rows when the graph has no
+        # dangling vertices) and the per-iteration danglesum is a
+        # key-less aggregate, which yields exactly one row -- 0.0 when
+        # the sentinel key never appears -- so the plan shape does not
+        # depend on whether dangling vertices exist. ONE repartition +
+        # ONE persist for the (links + sentinel) table.
+        if graph.vids_non_negative:
+            sentinel_dst = -1
+        else:
+            # hand-built graph: one cheap aggregate to find a safe key
+            sentinel_dst = min(
+                -1, int(meta.agg(F.min("vid")).first()[0]) - 1
             )
-            lz_links = (
-                links.unionByName(sentinel)
-                .repartition(npart, "src")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+        sentinel = dangling_vids.select(
+            F.col("vid").alias("src"),
+            F.lit(sentinel_dst).cast("long").alias("dst"),
+            F.lit(1.0).alias("share"),
+        )
+        lz_links = (
+            raw_links.unionByName(sentinel)
+            .repartition(npart, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         for it in range(start_iter, limit):
             contribs = salted_sum(
                 lz_links.join(_hinted(ranks, join_hint), lz_links.src == ranks.vid).select(
@@ -186,50 +180,64 @@ def pagerank(
                 salt_buckets=salt_buckets,
                 salt_from="src",
             )
-            if has_dangling:
-                # contribs is consumed twice (rank update + danglesum
-                # row). Cut its lineage with a LAZY localCheckpoint: no
-                # driver action now, one materialization at job time
-                # serving both consumers, and the logical plan stays
-                # linear in iterations instead of doubling per iteration.
-                contribs = contribs.localCheckpoint(eager=False)
-                dsum = contribs.where(F.col("dst") == sentinel_dst).select(
-                    F.col("contrib").alias("__danglesum")
+            # contribs is consumed twice (rank update + danglesum row).
+            # Cut its lineage with a LAZY localCheckpoint: no driver
+            # action now, one materialization at job time serving both
+            # consumers, and the logical plan stays linear in
+            # iterations instead of doubling per iteration.
+            contribs = contribs.localCheckpoint(eager=False)
+            dsum = (
+                contribs.where(F.col("dst") == sentinel_dst)
+                .agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__danglesum"))
+            )
+            ranks = (
+                meta.join(contribs, meta.vid == contribs.dst, "left")
+                .crossJoin(F.broadcast(dsum))
+                .select(
+                    "vid",
+                    (
+                        F.lit(alpha)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("__danglesum") * F.col("dw")
+                        )
+                        + F.lit(1.0 - alpha) * F.col("p")
+                    ).alias("rank"),
                 )
-                ranks = (
-                    meta.join(contribs, meta.vid == contribs.dst, "left")
-                    .crossJoin(F.broadcast(dsum))
-                    .select(
-                        "vid",
-                        (
-                            F.lit(alpha)
-                            * (
-                                F.coalesce(F.col("contrib"), F.lit(0.0))
-                                + F.col("__danglesum") * F.col("dw")
-                            )
-                            + F.lit(1.0 - alpha) * F.col("p")
-                        ).alias("rank"),
-                    )
-                )
-            else:
-                ranks = (
-                    meta.join(contribs, meta.vid == contribs.dst, "left")
-                    .select(
-                        "vid",
-                        (
-                            F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.lit(1.0 - alpha) * F.col("p")
-                        ).alias("rank"),
-                    )
-                )
+            )
             if (it + 1) % 5 == 0 and it != limit - 1:
                 ranks = cp.truncate(ranks)
         out = ranks.select("vid", "rank").localCheckpoint(eager=True)
-        if lz_links is not links:
-            lz_links.unpersist()
-        links.unpersist()
+        lz_links.unpersist()
+        out_w.unpersist()
         meta.unpersist()
         return out
+
+    # --- eager path: links table cached on its own. One action
+    # materializes meta (and out_w beneath it) and returns the dangling
+    # flag + count; the first iteration additionally needs the danglesum
+    # over the CURRENT ranks (closed form dc/n for the fresh uniform
+    # init, join-aggregate when nstart was given or the run resumed
+    # mid-iteration).
+    links = (
+        raw_links.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    flags = meta.agg(
+        F.max(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("dc"),
+    ).first()
+    has_dangling = bool(flags["d"])
+    danglesum = 0.0
+    if has_dangling:
+        if nstart is None and start_iter == 0:
+            danglesum = float(flags["dc"]) / n
+        else:
+            danglesum = (
+                meta.join(ranks, "vid")
+                .where(F.col("is_dangling"))
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
 
     it = start_iter
     for it in range(start_iter, limit):
@@ -286,6 +294,7 @@ def pagerank(
             cp.finalize(it, metrics)
             break
     links.unpersist()
+    out_w.unpersist()
     meta.unpersist()
     if not converged and raise_on_no_convergence:
         raise PowerIterationFailedConvergence(

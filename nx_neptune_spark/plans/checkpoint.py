@@ -97,16 +97,24 @@ class CheckpointManager:
         """Lineage truncation only (no durability)."""
         return df.localCheckpoint(eager=True)
 
-    def checkpoint(self, df: DataFrame, metrics: IterationMetrics) -> DataFrame:
+    def checkpoint(
+        self, df: DataFrame, metrics: IterationMetrics, lazy: bool = False
+    ) -> DataFrame:
         """Checkpoint state for ``metrics.iteration``; return the df to
         keep iterating on (reads back the durable copy when durable so
-        the logical plan roots at the parquet scan)."""
+        the logical plan roots at the parquet scan).
+
+        ``lazy=True`` (honored only on the non-durable path) truncates
+        lineage with ``localCheckpoint(eager=False)`` -- no driver
+        action here; the caller's next action over the returned frame
+        (e.g. a convergence fingerprint) materializes the cache, so one
+        action per iteration serves both purposes."""
         metrics.shuffle_partitions = int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
         metrics.wall_secs = time.time() - self._t0
         if self.checkpoint_dir is None or metrics.iteration % self.every != 0:
-            return self.truncate(df)
+            return df.localCheckpoint(eager=False) if lazy else self.truncate(df)
         d = self.iter_dir(metrics.iteration)
         state_path = os.path.join(d, "state.parquet")
         df.write.mode("overwrite").parquet(state_path)
