@@ -55,6 +55,30 @@ def _extract_text_one(raw: bytes | str | None) -> str | None:
     return _WS_RE.sub(" ", s).strip()
 
 
+_ORIGIN_RE = re.compile(r"^https?://[^/]*", re.IGNORECASE)
+
+
+def _resolve_href(base_url: str | None, href: str) -> str:
+    """urljoin with fast paths for the two dominant shapes (absolute
+    http(s) and root-relative) -- byte-identical to urljoin for them
+    (dot-segment refs fall through to urljoin, which normalizes)."""
+    if (
+        "#" not in href  # urljoin drops an empty trailing fragment
+        and "?" not in href  # ... and an empty trailing query
+        and (
+            "." not in href  # cheap common case
+            or all(seg not in (".", "..") for seg in href.split("/"))
+        )  # urljoin normalizes dot segments
+    ):
+        if href.startswith(("http://", "https://")):
+            return href
+        if base_url and href.startswith("/") and not href.startswith("//"):
+            m = _ORIGIN_RE.match(base_url)
+            if m:
+                return m.group(0) + href
+    return urljoin(base_url, href) if base_url else href
+
+
 def _extract_links_one(raw: bytes | str | None, base_url: str | None) -> list[str]:
     if raw is None:
         return []
@@ -65,7 +89,7 @@ def _extract_links_one(raw: bytes | str | None, base_url: str | None) -> list[st
         href = _html.unescape(href.strip())
         if not href or href.startswith(("#", "javascript:", "mailto:")):
             continue
-        resolved = urljoin(base_url, href) if base_url else href
+        resolved = _resolve_href(base_url, href)
         if resolved.startswith(("http://", "https://")):
             out.append(resolved)
     return out

@@ -54,6 +54,14 @@ def test_dense_ids_deterministic_across_partitioning(spark):
         pages.select(F.col("url").alias("name")).repartition(7)
     )
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # ... and across cluster sizes (different shuffle-partition count)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c = assign_dense_ids(pages.select(F.col("url").alias("name")))
+        assert a.exceptAll(c).isEmpty() and c.exceptAll(a).isEmpty()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     # dense 0..N-1, sorted-name order
     rows = sorted((r["vid"], r["name"]) for r in a.collect())
     names = [n for _, n in rows]
