@@ -108,13 +108,19 @@ def lsh_bucket_keys(
 
 
 def lsh_probe_keys(
-    vec: Column, dim: int, tables: int = 4, planes: int = 8
+    vec: Column, dim: int, tables: int = 4, planes: int = 8, probe_bits: int = 1
 ) -> Column:
-    """Multiprobe key set: each table's exact key plus every 1-bit flip
-    of it (tables * (planes+1) keys). Probing the query side widens each
-    lookup to all buckets within Hamming distance 1 -- the classic
-    recall boost that costs (planes+1)x keys on the SMALL side only,
-    instead of more tables (which would grow the corpus index)."""
+    """Multiprobe key set: each table's exact key plus every variant
+    within Hamming distance ``probe_bits`` of it (probe_bits=1 ->
+    tables*(planes+1) keys; probe_bits=2 adds the C(planes,2) two-bit
+    flips per table). Probing the query side widens each lookup to all
+    near buckets -- the classic recall boost that costs extra keys on
+    the SMALL side only, instead of more tables (which would grow the
+    corpus index). Distance-2 probing recovers neighbors whose sketch
+    differs by two planes in EVERY table -- the failure mode behind
+    recall plateaus that more tables cannot fix."""
+    from itertools import combinations
+
     qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
     keys = []
     for t in range(tables):
@@ -127,15 +133,100 @@ def lsh_probe_keys(
                 lambda acc, v: acc + v,
             )
             bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
-        variants = [bits] + [
-            [(F.lit(1) - b) if i == flip else b for i, b in enumerate(bits)]
-            for flip in range(planes)
-        ]
-        for var in variants:
+        flip_sets = [()]
+        if probe_bits >= 1:
+            flip_sets += [(i,) for i in range(planes)]
+        if probe_bits >= 2:
+            flip_sets += list(combinations(range(planes), 2))
+        for flips in flip_sets:
+            var = [
+                (F.lit(1) - b) if i in flips else b for i, b in enumerate(bits)
+            ]
             keys.append(
                 F.concat(F.lit(f"t{t}:"), *[v.cast("string") for v in var])
             )
     return F.array(*keys)
+
+
+def _plane_dots(vec: Column, dim: int, tables: int, planes: int) -> Column:
+    """All tables*planes quantized hyperplane dot products in ONE array
+    column: one zip_with/aggregate pass per plane over a SHARED
+    quantized-vector subexpression. Materializing this array behind a
+    projection barrier means downstream key expressions are cheap bit
+    ops instead of re-embedded 64-dim aggregates (which Catalyst would
+    otherwise re-evaluate per key variant -- the difference between
+    O(planes) and O(planes * probe-variants) dot products per row)."""
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
+    hps = F.array(
+        *[
+            F.array(*[F.lit(v) for v in _hyperplane(dim, t, p)])
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    )
+    return F.transform(
+        hps,
+        lambda hp: F.aggregate(
+            F.zip_with(qv, hp, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _keys_from_dots(
+    dots: Column, tables: int, planes: int, probe_bits: int
+) -> Column:
+    """Bucket-key array from the materialized dot array. probe_bits=0
+    -> the exact keys only (corpus side); >=1 adds all Hamming-<=probe_bits
+    variants (query side). Key format matches lsh_bucket_keys."""
+    from itertools import combinations
+
+    flip_sets: list[tuple[int, ...]] = [()]
+    if probe_bits >= 1:
+        flip_sets += [(i,) for i in range(planes)]
+    if probe_bits >= 2:
+        flip_sets += list(combinations(range(planes), 2))
+    keys = []
+    for t in range(tables):
+        base_bits = [
+            F.element_at(dots, t * planes + p + 1) > 0 for p in range(planes)
+        ]
+        for flips in flip_sets:
+            keys.append(
+                F.concat(
+                    F.lit(f"t{t}:"),
+                    *[
+                        F.when(
+                            ~b if p in flips else b, F.lit("1")
+                        ).otherwise(F.lit("0"))
+                        for p, b in enumerate(base_bits)
+                    ],
+                )
+            )
+    return F.array(*keys)
+
+
+def _exploded_buckets(
+    df: DataFrame,
+    dim: int,
+    tables: int,
+    planes: int,
+    probe_bits: int,
+    out_cols: list,
+    vec_col: str,
+) -> DataFrame:
+    """(out_cols..., bucket) with one row per (row, bucket key); the
+    plane-dot array is materialized by an intermediate projection."""
+    with_dots = df.select(
+        *out_cols, _plane_dots(F.col(vec_col), dim, tables, planes).alias("__dots")
+    )
+    return with_dots.select(
+        *with_dots.columns[:-1],
+        F.explode(
+            _keys_from_dots(F.col("__dots"), tables, planes, probe_bits)
+        ).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -149,20 +240,29 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: bool = True,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: same output shape as brute_force_topk but only
     scoring candidates that share an LSH bucket in any table (queries
-    additionally probe all 1-bit-adjacent buckets when ``multiprobe``)."""
-    keyfn = lsh_probe_keys if multiprobe else lsh_bucket_keys
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    additionally probe all buckets within Hamming distance
+    ``probe_bits`` when ``multiprobe``)."""
+    c = _exploded_buckets(
+        corpus,
+        dim,
+        tables,
+        planes,
+        0,
+        [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")],
+        vec_col,
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(keyfn(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    q = _exploded_buckets(
+        queries,
+        dim,
+        tables,
+        planes,
+        probe_bits if multiprobe else 0,
+        [F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")],
+        vec_col,
     )
     cand = (
         c.join(q, "bucket")
@@ -190,22 +290,21 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a, b, cosine >= threshold),
     candidates restricted to shared LSH buckets. With ``multiprobe`` the
     left join side emits 1-bit-adjacent probe keys too, so any pair
-    whose table keys differ by <= 1 bit becomes a candidate (Hamming
-    adjacency is symmetric, so probing one side covers both orders)."""
-    keyfn = lsh_probe_keys if multiprobe else lsh_bucket_keys
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(lsh_bucket_keys(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    whose table keys differ by <= probe_bits becomes a candidate
+    (Hamming adjacency is symmetric, so probing one side covers both
+    orders)."""
+    c = _exploded_buckets(
+        corpus, dim, tables, planes, 0,
+        [F.col(id_col).alias("id"), F.col(vec_col).alias("v")], vec_col,
     )
-    cl = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(keyfn(F.col(vec_col), dim, tables, planes)).alias("bucket"),
+    cl = _exploded_buckets(
+        corpus, dim, tables, planes, probe_bits if multiprobe else 0,
+        [F.col(id_col).alias("id"), F.col(vec_col).alias("v")], vec_col,
     )
     pairs = (
         cl.alias("l")

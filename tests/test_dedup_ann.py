@@ -255,3 +255,27 @@ def test_text_functions(spark, docs):
     assert by_id[0]["fp"] == hashlib.md5(
         b"the quick brown fox jumps over the lazy dog"
     ).hexdigest()
+
+
+def test_lsh_topk_distance2_multiprobe(spark, emb):
+    """Distance-2 probing dominates distance-1 at the same table/plane
+    budget -- the knob for recall plateaus where some true neighbor's
+    sketch differs by 2 bits in every table (BENCH sf0.1 finding)."""
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_s = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(probe_bits):
+        approx = lsh_topk(
+            emb, queries, dim=64, k=3, tables=4, planes=6, probe_bits=probe_bits
+        ).collect()
+        got = {(r["query_id"], r["vec_id"]) for r in approx}
+        return len(exact_s & got) / len(exact_s)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, f"distance-2 recall {r2} < distance-1 {r1}"
+    assert r2 >= 0.8, f"distance-2 recall too low: {r2}"
