@@ -314,7 +314,9 @@ def q_ann_topk_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=TOPK).select("query_id", "vec_id")
-    approx = lsh_topk(emb, queries, dim=64, k=TOPK, tables=12, planes=4).select(
+    approx = lsh_topk(
+        emb, queries, dim=64, k=TOPK, tables=12, planes=4, probe_bits=2
+    ).select(
         "query_id", "vec_id"
     )
     hits = (
@@ -357,7 +359,9 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     lsh_n = (
-        near_duplicate_pairs(emb, dim=64, threshold=COS_T, tables=12, planes=4)
+        near_duplicate_pairs(
+            emb, dim=64, threshold=COS_T, tables=12, planes=4, probe_bits=2
+        )
         .agg(F.count("*").alias("n_lsh"))
     )
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
