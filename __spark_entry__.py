@@ -335,6 +335,38 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF inverted-list ANN with a MEASURED recall contract mirroring
+    q_ann_topk_lsh: per query, the nprobe-probed IVF top-k must recover
+    >= 0.8 of the exact brute-force top-k computed in the same job
+    (operators/ivf.py; deterministic Lloyd codebook, exact re-rank)."""
+    from nx_neptune_spark.operators.ann import brute_force_topk
+    from nx_neptune_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=TOPK).select("query_id", "vec_id")
+    approx = ivf_topk(
+        emb, queries, dim=64, k=TOPK, n_centroids=8, nprobe=6, iters=3
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            ((F.coalesce(F.col("h"), F.lit(0)) / F.col("n")) >= 0.8).alias("recall_ok"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # exact pairs (brute force) so the SQL oracle is total
     from nx_neptune_spark.operators.ann import cosine
@@ -493,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_meta": q_multimodal_meta,
@@ -887,6 +920,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_lsh": (
+            f"SELECT vec_id AS query_id, true AS recall_ok FROM embeddings"
+            f" WHERE vec_id < {N_QUERIES}"
+        ),
+        "ann_topk_ivf": (
             f"SELECT vec_id AS query_id, true AS recall_ok FROM embeddings"
             f" WHERE vec_id < {N_QUERIES}"
         ),

@@ -109,6 +109,7 @@ def main() -> None:
         "minhash_lsh",
         "simhash",
         "ann_topk",
+        "ann_topk_ivf",
         "token_stats",
         "lineitem_pricing",
         "events_hourly",

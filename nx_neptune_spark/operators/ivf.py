@@ -1,0 +1,223 @@
+"""IVF (inverted-file) approximate nearest neighbor over embeddings.
+
+The second scale path next to hyperplane LSH (operators/ann.py): train
+a small codebook of centroids with a few Lloyd (k-means) rounds, assign
+every corpus vector to its nearest centroid (the "inverted list"), and
+at query time score only the lists of the ``nprobe`` nearest centroids.
+At 10^9 vectors the candidate set is |corpus| * nprobe / n_centroids --
+a bucket join, never a cross join.
+
+Spark-first design notes:
+  * centroids are tiny (n_centroids * dim doubles) -- they live as a
+    driver-side list and enter the plan as LITERAL arrays, so each
+    assignment pass is one narrow projection over the corpus (argmin of
+    n_centroids dot products, whole-stage codegen, no shuffle) plus one
+    groupBy(cid) re-averaging shuffle of partial sums.
+  * determinism: seeds are the vectors with the smallest
+    xxhash64(vec_id) (ties by vec_id) -- reproducible across runs,
+    partitionings and cluster sizes; Lloyd updates are
+    sum-then-divide over per-partition partial sums of float64.
+  * empty clusters keep their previous centroid (standard fix).
+
+Distance is squared L2 over L2-NORMALIZED vectors, which ranks
+identically to cosine; the final re-rank is exact cosine, matching
+brute_force_topk output bit-for-bit on the vectors it recovers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ann import cosine
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _sq_l2_to(vec: Column, center: list[float]) -> Column:
+    """||vec_normalized - center||^2 expanded as 1 + ||c||^2 - 2<v,c>/||v||
+    -- one zip_with/aggregate pass per centroid."""
+    c2 = sum(x * x for x in center)
+    dot = F.aggregate(
+        F.zip_with(vec, _lit_vec(center), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.lit(1.0 + c2) - F.lit(2.0) * dot / nrm
+
+
+def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid: array_position over the
+    min of the literal distance array (ties -> lowest cid)."""
+    dists = F.array(*[_sq_l2_to(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def train_ivf(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means on L2-normalized vectors; returns the codebook as a
+    plain list (n_centroids x dim). One narrow assignment projection +
+    one aggregate shuffle per iteration."""
+    normed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y.cast("double") * y.cast("double"),
+                )
+            ),
+        ).alias("nv"),
+    )
+    seeds = (
+        normed.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["nv"]) for r in seeds]
+    for _ in range(iters):
+        assigned = normed.select(
+            "nv", _nearest_cid(F.col("nv"), centroids).alias("cid")
+        )
+        # elementwise mean per cluster: posexplode -> (cid, pos) partial
+        # sums -> re-assemble ordered arrays
+        sums = (
+            assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias("vsum"),
+                F.first("n").alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep old center
+        for r in sums:
+            n = int(r["n"])
+            new_centroids[int(r["cid"])] = [v / n for v in r["vsum"]]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid, embedding): the inverted lists. At scale this is the
+    persisted index table, partitioned by cid."""
+    normed_cid = _nearest_cid(
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y.cast("double") * y.cast("double"),
+                )
+            ),
+        ),
+        centroids,
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        normed_cid.alias("cid"),
+        F.col(vec_col).alias("cv"),
+    )
+
+
+def _query_probe_cids(
+    queries: list[tuple], centroids: list[list[float]], nprobe: int
+) -> dict:
+    """Driver-side: nprobe nearest centroid ids per query (queries are
+    the small side by construction; n_centroids * nprobe is tiny)."""
+    out = {}
+    for qid, vec in queries:
+        nv = [float(x) for x in vec]
+        nrm = math.sqrt(sum(x * x for x in nv)) or 1.0
+        nv = [x / nrm for x in nv]
+        d = [
+            (sum((a - b) ** 2 for a, b in zip(nv, c)), i)
+            for i, c in enumerate(centroids)
+        ]
+        d.sort()
+        out[qid] = [i for _, i in d[:nprobe]]
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k, same output shape as brute_force_topk:
+    (query_id, vec_id, cosine, rank). Pass ``centroids`` to reuse a
+    trained codebook (the 100-TB path trains once, assigns once, and
+    serves many query batches from the persisted inverted lists)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf(
+            corpus, dim, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    inv = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    qrows = [
+        (r[0], list(r[1]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    probes = _query_probe_cids(qrows, centroids, nprobe)
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [(qid, cid) for qid, cids in probes.items() for cid in cids],
+        "query_id long, cid int",
+    )
+    qv_df = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = (
+        inv.join(F.broadcast(probe_df), "cid")
+        .join(F.broadcast(qv_df), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
