@@ -313,9 +313,29 @@ class LinkGraph:
     def num_vertices(self) -> int:
         return self.vertices.count()
 
+    #: Hard cap for the NetworkX-dict adapters below (and the api.py
+    #: wrappers built on them), which collect() vertex-sized state to
+    #: the driver. The DataFrame operator layer (operators/*) is the
+    #: scale API; these adapters exist for NetworkX return-shape parity
+    #: at fixture scale. Raise explicitly to opt in to bigger collects.
+    max_adapter_rows: int = 5_000_000
+
+    def _guard_adapter(self, what: str) -> None:
+        n = self.vertices.count()
+        if n > self.max_adapter_rows:
+            raise RuntimeError(
+                f"{what} would materialize {n:,} vertices on the driver; "
+                "the NetworkX-dict adapters are fixture-scale only. Use "
+                "the DataFrame operator layer (nx_neptune_spark.operators"
+                ".*) at scale, or raise LinkGraph.max_adapter_rows to "
+                "opt in."
+            )
+
     def name_of(self) -> dict[int, str]:
         """vid -> name dict (driver-side; test/fixture scale only)."""
+        self._guard_adapter("name_of()")
         return {r["vid"]: r["name"] for r in self.vertices.collect()}
 
     def vid_of(self) -> dict[str, int]:
+        self._guard_adapter("vid_of()")
         return {r["name"]: r["vid"] for r in self.vertices.collect()}
