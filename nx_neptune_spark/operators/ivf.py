@@ -38,27 +38,35 @@ def _lit_vec(v: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
-def _sq_l2_to(vec: Column, center: list[float]) -> Column:
-    """||vec_normalized - center||^2 expanded as 1 + ||c||^2 - 2<v,c>/||v||
-    -- one zip_with/aggregate pass per centroid."""
-    c2 = sum(x * x for x in center)
-    dot = F.aggregate(
-        F.zip_with(vec, _lit_vec(center), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _normalize(vec: Column) -> Column:
+    """L2-normalize (materialize this ONCE per row behind a projection
+    before computing centroid distances -- otherwise Catalyst re-embeds
+    the normalization in every per-centroid expression)."""
     nrm = F.sqrt(
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return F.lit(1.0 + c2) - F.lit(2.0) * dot / nrm
+    return F.transform(vec, lambda x: x.cast("double") / nrm)
 
 
-def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index (0-based) of the nearest centroid: array_position over the
-    min of the literal distance array (ties -> lowest cid)."""
-    dists = F.array(*[_sq_l2_to(vec, c) for c in centroids])
+def _sq_l2_unit(unit_vec: Column, center: list[float]) -> Column:
+    """||u - c||^2 for UNIT u, expanded as 1 + ||c||^2 - 2<u,c> -- one
+    zip_with/aggregate pass per centroid, no per-centroid norm."""
+    c2 = sum(x * x for x in center)
+    dot = F.aggregate(
+        F.zip_with(unit_vec, _lit_vec(center), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.lit(1.0 + c2) - F.lit(2.0) * dot
+
+
+def _nearest_cid(unit_vec: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid to a UNIT vector:
+    array_position over the min of the literal distance array (ties ->
+    lowest cid)."""
+    dists = F.array(*[_sq_l2_unit(unit_vec, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -73,20 +81,11 @@ def train_ivf(
     """Lloyd k-means on L2-normalized vectors; returns the codebook as a
     plain list (n_centroids x dim). One narrow assignment projection +
     one aggregate shuffle per iteration."""
+    from pyspark import StorageLevel
+
     normed = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.sqrt(
-                F.aggregate(
-                    F.col(vec_col),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y.cast("double") * y.cast("double"),
-                )
-            ),
-        ).alias("nv"),
-    )
+        F.col(id_col).alias("vec_id"), _normalize(F.col(vec_col)).alias("nv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
         normed.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(n_centroids)
@@ -118,6 +117,7 @@ def train_ivf(
             n = int(r["n"])
             new_centroids[int(r["cid"])] = [v / n for v in r["vsum"]]
         centroids = new_centroids
+    normed.unpersist()
     return centroids
 
 
@@ -129,24 +129,13 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, cid, embedding): the inverted lists. At scale this is the
     persisted index table, partitioned by cid."""
-    normed_cid = _nearest_cid(
-        F.transform(
-            F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.sqrt(
-                F.aggregate(
-                    F.col(vec_col),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y.cast("double") * y.cast("double"),
-                )
-            ),
-        ),
-        centroids,
-    )
-    return corpus.select(
+    with_nv = corpus.select(
         F.col(id_col).alias("vec_id"),
-        normed_cid.alias("cid"),
         F.col(vec_col).alias("cv"),
+        _normalize(F.col(vec_col)).alias("__nv"),
+    )
+    return with_nv.select(
+        "vec_id", _nearest_cid(F.col("__nv"), centroids).alias("cid"), "cv"
     )
 
 
