@@ -111,13 +111,16 @@ def _star_contraction(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # NOTE: no intermediate distinct -- duplicates are harmless to
+        # small-star (its min-aggregate is dup-insensitive and the round
+        # ends in a distinct anyway) and the row count is bounded by
+        # 2|e|; dropping the exchange is ~25% off the round wall-clock.
         large = (
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star ----
         lo = large.select(F.col("v").alias("hi"), F.col("u").alias("lo"))
