@@ -250,6 +250,18 @@ def q_minhash_lsh(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    from nx_neptune_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(spark, sf_dir),
+        k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=LSH_JACCARD_T,
+    )
+
+
 def q_simhash(spark, sf_dir):
     from nx_neptune_spark.operators.dedup import simhash_fingerprints
 
@@ -519,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh": q_minhash_lsh,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_language": q_quality_language,
@@ -775,6 +788,26 @@ cand AS (
 """
 
 
+def _near_dup_clusters_sql() -> str:
+    # transitive closure of the LSH pair graph: recursive min-label CC
+    # over pairs (the Spark side runs large-star/small-star instead)
+    return f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_sql().strip()}),
+sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS vid FROM sym),
+reach(vid, lab) AS (
+  SELECT vid, vid FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN sym e ON e.src = r.vid
+),
+comp AS (SELECT vid AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY vid),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS keep
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
 def _simhash_sql() -> str:
     bit_sums = ",\n    ".join(
         f"sum(freq * (((h >> {i}) & 1) * 2 - 1)) AS s{i}" for i in range(16)
@@ -903,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh": _minhash_lsh_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "simhash": _simhash_sql(),
         "token_stats": (
             "SELECT doc_id,"

@@ -207,6 +207,52 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Collapse near-duplicate documents into clusters (the dedup stage a
+    training pipeline actually runs: pairs alone don't tell you which doc
+    to keep when A~B and B~C but A!~C).
+
+    Near-dup pairs (``minhash_lsh_pairs`` by default, or caller-provided
+    ``pairs(a, b, ...)``) are treated as undirected edges and closed
+    transitively with the large-star/small-star connected-components
+    operator -- O(log^2 n) rounds, no driver-side union-find, so a
+    100M-doc crawl with a giant dup cluster still converges.
+
+    Returns one row per document appearing in >=1 pair:
+    (doc_id, cluster_id = min doc_id in its cluster, cluster_size,
+    keep = doc_id == cluster_id). Documents in no pair are implicitly
+    unique (anti-join this result to drop dups from the corpus).
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs, id_col, text_col, k, num_hashes, bands, threshold
+        )
+    from ..graph import LinkGraph
+    from .components import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(LinkGraph(edges, directed=False))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("vid").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("vid") == F.col("component")).alias("keep"),
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -25,6 +25,7 @@ from nx_neptune_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dup_clusters,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -98,6 +99,35 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     for (a, b), j in pairs.items():
         assert math.isclose(j, py_jaccard(texts[a], texts[b]), abs_tol=1e-12)
         assert j >= 0.4
+
+
+def test_near_dup_clusters_transitive(spark, docs):
+    # explicit pair graph: chain 0-1, 1-2 must collapse into ONE cluster
+    # (pairs alone say nothing about 0 vs 2), plus an unrelated pair 3-4
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a long, b long"
+    )
+    out = near_dup_clusters(docs, pairs=pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"]) for r in out}
+    assert got == {
+        0: (0, 3, True),
+        1: (0, 3, False),
+        2: (0, 3, False),
+        3: (3, 2, True),
+        4: (3, 2, False),
+    }
+    # doc 5 is in no pair -> absent (implicitly unique)
+    assert 5 not in got
+
+
+def test_near_dup_clusters_lsh_end_to_end(spark, docs):
+    # default path: LSH pairs feed the clustering; exact dups 0/2 and
+    # near-dup 1 must land in one cluster keyed by min doc_id
+    out = near_dup_clusters(docs, threshold=0.5).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got[0] == 0 and got[2] == 0
+    keeps = {r["doc_id"] for r in out if r["keep"]}
+    assert 0 in keeps and 2 not in keeps
 
 
 def test_jaccard_stopword_skew(spark):
