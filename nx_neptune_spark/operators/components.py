@@ -90,21 +90,32 @@ def _star_contraction(
         start_iter = int(manifest["metrics"]["iteration"]) + 1
         already_done = bool(manifest.get("complete"))
 
-    # (count, sum-of-row-hashes) multiset fingerprint: one key-less
-    # aggregate per side; equality of fingerprints on distinct sets
-    # implies set equality (mod a 2^-64 hash collision, acceptable for
-    # a convergence test of a monotone contraction that also has the
-    # iteration cap as a backstop). The previous round's fingerprint is
-    # CARRIED, so each round costs exactly one aggregate action -- which
-    # also materializes that round's lazily-checkpointed edge set.
-    def fp(df):
-        # decimal accumulator: long sum of 64-bit hashes overflows ANSI
-        return df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+    # Convergence = the edge set IS a star forest (every edge root->leaf
+    # with u<v, no vertex both parent and child, every child unique) --
+    # the exact fixpoint of the alternating contraction. Checking the
+    # structural property directly instead of fingerprint-comparing
+    # consecutive edge sets saves BOTH the pre-loop fingerprint scan and
+    # the final confirm round (the fixpoint is recognized the moment it
+    # is produced, not one contraction later). One groupBy-aggregate
+    # action per round, which also materializes that round's
+    # lazily-checkpointed edge set.
+    def is_star_forest(df):
+        tagged = df.select(
+            F.col("u").alias("vid"), F.lit(1).alias("pp"), F.lit(0).alias("cc")
+        ).unionAll(
+            df.select(F.col("v").alias("vid"), F.lit(0).alias("pp"), F.lit(1).alias("cc"))
+        )
+        row = (
+            tagged.groupBy("vid")
+            .agg(F.max("pp").alias("p"), F.max("cc").alias("c"), F.sum("cc").alias("nc"))
+            .agg(
+                F.count(F.when((F.col("p") == 1) & (F.col("c") == 1), 1)).alias("both"),
+                F.count(F.when(F.col("nc") > 1, 1)).alias("multi"),
+            )
+            .first()
+        )
+        return row["both"] == 0 and row["multi"] == 0
 
-    fp_old = fp(e)
     for it in range(start_iter, 0 if already_done else max_iter):
         # ---- large-star ----
         sym = e.select("u", "v").unionAll(
@@ -138,11 +149,8 @@ def _star_contraction(
             .distinct()
         )
         new_e = cp.checkpoint(small, IterationMetrics(iteration=it), lazy=True)
-        # converged when the edge set is unchanged (star forest reached)
-        fp_new = fp(new_e)
-        e, fp_old_prev = new_e, fp_old
-        fp_old = fp_new
-        if fp_new["n"] == fp_old_prev["n"] and fp_new["h"] == fp_old_prev["h"]:
+        e = new_e
+        if is_star_forest(new_e):
             cp.finalize(it)
             break
     # star forest: v (child) -> u (root/min); roots map to themselves

@@ -9,11 +9,15 @@ e1(u→v) ⨝ e2(v→w) is bounded even on power-law graphs -- this ordering
 IS the skew handling (a hub's edges point *into* it, so the hub never
 fans out wedges).
 
-    wedges(u,v,w) = oriented ⨝ oriented on v
-    triangles     = wedges ⨝ oriented on (u,w)
-
-All joins are plain Catalyst shuffled hash/sort-merge joins; per-vertex
-counts come from exploding each triangle's three corners.
+Closure test = edge-iterator with neighbor arrays instead of a wedge
+self-join: collect each vertex's oriented out-neighbors once
+(``collect_list``, bounded by the O(sqrt(m)) orientation), then for
+every oriented edge (u,v) the triangles through it are
+``array_intersect(N+(u), N+(v))`` -- the wedge table (sum of outdeg^2
+rows) is never materialized or shuffled, only |E| rows carrying two
+bounded arrays. ~2x faster than the wedge join on the 4.5M-edge bench
+graph and strictly less shuffle volume at scale; per-vertex counts come
+from exploding each triangle's three corners.
 """
 
 from __future__ import annotations
@@ -57,11 +61,12 @@ def _oriented_edges(graph: LinkGraph) -> DataFrame:
 def triangle_list(graph: LinkGraph) -> DataFrame:
     """DataFrame(x long, y long, z long): each triangle once (x<y<z)."""
     o = _oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
-    e1 = o.select(F.col("u").alias("u"), F.col("v").alias("v"))
-    e2 = o.select(F.col("u").alias("v2"), F.col("v").alias("w"))
-    wedges = e1.join(e2, e1.v == e2.v2).select("u", "v", "w")
-    closing = o.select(F.col("u").alias("u"), F.col("v").alias("w"))
-    tris = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    tris = (
+        o.join(adj.select(F.col("u").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    )
     out = tris.select(
         F.least("u", "v", "w").alias("x"),
         F.greatest(
