@@ -77,48 +77,44 @@ def train_ivf(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 100_000,
 ) -> list[list[float]]:
     """Lloyd k-means on L2-normalized vectors; returns the codebook as a
-    plain list (n_centroids x dim). One narrow assignment projection +
-    one aggregate shuffle per iteration."""
-    from pyspark import StorageLevel
+    plain list (n_centroids x dim).
 
-    normed = corpus.select(
-        F.col(id_col).alias("vec_id"), _normalize(F.col(vec_col)).alias("nv")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    seeds = (
-        normed.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(n_centroids)
+    Trains on a deterministic SAMPLE (the ``train_cap`` vectors with the
+    smallest ``xxhash64(vec_id)``, ties by vec_id) collected to the
+    driver, then iterates in numpy -- the standard IVF recipe (FAISS
+    trains its coarse quantizer on a bounded sample for the same
+    reason): codebook quality needs ~1000x n_centroids samples, not the
+    corpus, so a 10^9-vector corpus pays ONE top-k-by-hash pass instead
+    of 2 shuffles + a driver action per Lloyd iteration. Assignment of
+    the full corpus (``ivf_assign``) stays distributed. Deterministic
+    across runs, partitionings and cluster sizes by construction."""
+    import numpy as np
+
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _normalize(F.col(vec_col)).alias("nv")
+        )
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(int(train_cap))
         .collect()
     )
-    centroids = [list(r["nv"]) for r in seeds]
+    X = np.array([list(r["nv"]) for r in sample], dtype=np.float64)
+    C = X[: int(n_centroids)].copy()  # seeds: first rows in hash order
+    k = C.shape[0]
     for _ in range(iters):
-        assigned = normed.select(
-            "nv", _nearest_cid(F.col("nv"), centroids).alias("cid")
-        )
-        # elementwise mean per cluster: posexplode -> (cid, pos) partial
-        # sums -> re-assemble ordered arrays
-        sums = (
-            assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda st: st["s"],
-                ).alias("vsum"),
-                F.first("n").alias("n"),
-            )
-            .collect()
-        )
-        new_centroids = list(centroids)  # empty clusters keep old center
-        for r in sums:
-            n = int(r["n"])
-            new_centroids[int(r["cid"])] = [v / n for v in r["vsum"]]
-        centroids = new_centroids
-    normed.unpersist()
-    return centroids
+        # ||x||^2 == 1 (unit vectors): argmin of 1 + ||c||^2 - 2<x,c>;
+        # np.argmin takes the first minimum -> lowest cid on ties,
+        # matching _nearest_cid's array_position semantics
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        cid = d.argmin(axis=1)
+        for j in range(k):
+            members = X[cid == j]
+            if len(members):  # empty clusters keep their previous center
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
 
 
 def ivf_assign(
