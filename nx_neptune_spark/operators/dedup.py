@@ -216,6 +216,7 @@ def near_dup_clusters(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Collapse near-duplicate documents into clusters (the dedup stage a
     training pipeline actually runs: pairs alone don't tell you which doc
@@ -227,18 +228,63 @@ def near_dup_clusters(
     operator -- O(log^2 n) rounds, no driver-side union-find, so a
     100M-doc crawl with a giant dup cluster still converges.
 
-    Returns one row per document appearing in >=1 pair:
-    (doc_id, cluster_id = min doc_id in its cluster, cluster_size,
-    keep = doc_id == cluster_id). Documents in no pair are implicitly
-    unique (anti-join this result to drop dups from the corpus).
+    ``collapse_exact`` (default, LSH path only): exact duplicates are
+    collapsed to one representative (min doc_id per content hash)
+    BEFORE signatures. Identical documents share every band bucket, so
+    an m-doc identical cluster otherwise yields m^2/2 LSH candidates --
+    the one quadratic blowup banded LSH cannot cap. Collapsing is
+    output-invariant: identical docs have identical shingle sets, hence
+    identical Jaccard to every third doc, hence identical cluster
+    connectivity; membership is re-expanded with a linear hash join
+    (exact-dup groups whose representative pairs with nothing still
+    form their own cluster -- their intra-group pairs are 1.0-Jaccard).
+
+    Returns one row per document appearing in >=1 (possibly collapsed)
+    pair: (doc_id, cluster_id = min doc_id in its cluster,
+    cluster_size, keep = doc_id == cluster_id). Documents in no pair
+    are implicitly unique (anti-join this result to drop dups).
     """
+    from ..graph import LinkGraph
+    from .components import connected_components
+
+    if pairs is None and collapse_exact:
+        fp = docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fingerprint")
+        )
+        groups = fp.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
+        )
+        members = fp.join(groups, "fingerprint").select("doc_id", "rep", "gsz")
+        rep_docs = docs.join(
+            groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+        )
+        rpairs = minhash_lsh_pairs(
+            rep_docs, id_col, text_col, k, num_hashes, bands, threshold
+        )
+        redges = rpairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        rcomp = connected_components(LinkGraph(redges, directed=False))
+        lonely = (
+            groups.where(F.col("gsz") >= 2)
+            .select(F.col("rep").alias("vid"))
+            .join(rcomp.select("vid"), "vid", "left_anti")
+            .select("vid", F.col("vid").alias("component"))
+        )
+        assign = members.join(
+            rcomp.unionByName(lonely),
+            members.rep == F.col("vid"),
+        ).select("doc_id", F.col("component").alias("cluster_id"))
+        sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+        return assign.join(sizes, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+
     if pairs is None:
         pairs = minhash_lsh_pairs(
             docs, id_col, text_col, k, num_hashes, bands, threshold
         )
-    from ..graph import LinkGraph
-    from .components import connected_components
-
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(LinkGraph(edges, directed=False))
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))

@@ -130,6 +130,31 @@ def test_near_dup_clusters_lsh_end_to_end(spark, docs):
     assert 0 in keeps and 2 not in keeps
 
 
+def test_near_dup_clusters_collapse_exact_invariant(spark):
+    # 30 byte-identical docs (the quadratic-LSH-candidate case), one
+    # near-dup of them, one unrelated pair, one unique doc: collapsed
+    # and uncollapsed paths must produce the identical cluster table
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+    rows += [(30, "alpha beta gamma delta epsilon eta")]  # near-dup of group
+    # exact pair with a rep that near-dups nothing else: exercises the
+    # lonely-representative branch of the collapsed path
+    rows += [(31, "one two three four five six"), (32, "one two three four five six")]
+    rows += [(33, "totally unrelated content entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5)
+    a = sorted(
+        map(tuple, near_dup_clusters(docs, collapse_exact=True, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, near_dup_clusters(docs, collapse_exact=False, **kw).collect())
+    )
+    assert a == b
+    got = {r[0]: r[1] for r in a}
+    assert all(got[i] == 0 for i in range(30))  # identical docs one cluster
+    assert got[31] == 31 and got[32] == 31
+    assert 33 not in got
+
+
 def test_jaccard_stopword_skew(spark):
     """One hot shingle shared by ALL docs (a stop-shingle). With
     max_bucket below the corpus size the hot bucket must be dropped from
