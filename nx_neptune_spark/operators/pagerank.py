@@ -41,6 +41,7 @@ from pyspark import StorageLevel
 from ..graph import LinkGraph
 from ..plans.checkpoint import CheckpointManager, IterationMetrics
 from ..plans.skew import salted_sum
+from ..session import adaptive_disabled
 
 
 class PowerIterationFailedConvergence(RuntimeError):
@@ -61,13 +62,55 @@ def pagerank(
     fixed_iterations: int | None = None,
     raise_on_no_convergence: bool = True,
     join_hint: str | None = "shuffle_hash",
+    disable_adaptive: bool = True,
 ) -> DataFrame:
     """Return DataFrame(vid long, rank double).
 
     ``fixed_iterations`` disables the tolerance check and runs exactly
     that many iterations (used for SQL-oracle comparison where the
     oracle is an unrolled fixed-depth query).
+
+    ``disable_adaptive`` turns AQE off for the duration of the call
+    (see session.adaptive_disabled: the loop's shape is static and
+    skew is handled explicitly, so AQE re-planning is pure per-stage
+    latency here — ~2x wall-clock on the bench graph). Every action of
+    the run happens inside the scope; the returned DataFrame is
+    materialized state, so the caller's session setting is restored
+    before return.
     """
+    with adaptive_disabled(graph.spark, disable_adaptive):
+        return _pagerank_impl(
+            graph,
+            alpha=alpha,
+            personalization=personalization,
+            max_iter=max_iter,
+            tol=tol,
+            nstart=nstart,
+            weight=weight,
+            dangling=dangling,
+            salt_buckets=salt_buckets,
+            checkpoint=checkpoint,
+            fixed_iterations=fixed_iterations,
+            raise_on_no_convergence=raise_on_no_convergence,
+            join_hint=join_hint,
+        )
+
+
+def _pagerank_impl(
+    graph: LinkGraph,
+    alpha: float,
+    personalization: Mapping[int, float] | None,
+    max_iter: int,
+    tol: float,
+    nstart: Mapping[int, float] | None,
+    weight: str | None,
+    dangling: Mapping[int, float] | None,
+    salt_buckets: int,
+    checkpoint: CheckpointManager | None,
+    fixed_iterations: int | None,
+    raise_on_no_convergence: bool,
+    join_hint: str | None,
+) -> DataFrame:
     spark = graph.spark
     edges = graph.symmetric_edges()
     if weight is not None and weight in edges.columns:

@@ -14,10 +14,44 @@ AQE + skew-join handling, adaptive coalescing, Arrow for pandas UDFs.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+@contextmanager
+def adaptive_disabled(spark: SparkSession, disable: bool = True):
+    """Temporarily turn AQE off for a fixed-shape hot loop.
+
+    AQE's per-exchange re-plan (stats collection + stage re-submission,
+    a driver round-trip per shuffle) is the dominant *fixed* cost of
+    short stages: measured on the 4.5M-edge bench graph at local[32],
+    the 10-iteration PageRank loop runs 23.0s with AQE vs 12.3s without
+    (bit-identical rank sums), and triangle counting 10.3s vs 6.0s.
+    The loops that opt in here have a statically known shape — inputs
+    pre-partitioned on the join key, shuffle-hash join hints, skew
+    handled explicitly by degree-orientation / two-phase salted
+    aggregation — so AQE has nothing left to improve at runtime. On a
+    real cluster the same re-plan latency exists but stages are minutes
+    long; callers can keep AQE with ``disable_adaptive=False``.
+
+    Connected components deliberately does NOT use this: its star
+    rounds shrink the edge set by orders of magnitude between
+    exchanges, which is exactly the case AQE coalescing wins (measured
+    16.7s with AQE vs 23.0s without on the same graph).
+    """
+    if not disable:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
