@@ -112,7 +112,10 @@ def pagerank(
     run_graph = graph
     if traversal_direction == "inbound" and graph.directed:
         run_graph = LinkGraph(
-            graph.reversed_edges(), graph.vertices, directed=True
+            graph.reversed_edges(),
+            graph.vertices,
+            directed=True,
+            vids_non_negative=graph.vids_non_negative,
         )
     result = _pr(
         run_graph,

@@ -112,10 +112,15 @@ def assign_dense_ids(names: DataFrame, col: str = "name") -> DataFrame:
     omap = F.create_map(
         *[F.lit(x) for k, v in offsets.items() for x in (k, v)]
     )
-    return numbered.select(
+    out = numbered.select(
         (F.col("pos") + omap[F.col("pid")]).cast("long").alias("vid"),
         "name",
-    )
+    ).localCheckpoint(eager=True)
+    # the counts collect() above already materialized `numbered`; the
+    # eager barrier makes `out` self-contained so the intermediate cache
+    # can be dropped instead of leaking for the session lifetime
+    numbered.unpersist()
+    return out
 
 
 class LinkGraph:
@@ -311,7 +316,13 @@ class LinkGraph:
         )
 
     def num_vertices(self) -> int:
-        return self.vertices.count()
+        # memoized per vertices-DataFrame instance (vertices are
+        # replaced wholesale by CRUD ops, never mutated in place)
+        key = id(self.vertices)
+        if getattr(self, "_nv_key", None) != key:
+            self._nv_val = self.vertices.count()
+            self._nv_key = key
+        return self._nv_val
 
     #: Hard cap for the NetworkX-dict adapters below (and the api.py
     #: wrappers built on them), which collect() vertex-sized state to
@@ -321,7 +332,7 @@ class LinkGraph:
     max_adapter_rows: int = 5_000_000
 
     def _guard_adapter(self, what: str) -> None:
-        n = self.vertices.count()
+        n = self.num_vertices()
         if n > self.max_adapter_rows:
             raise RuntimeError(
                 f"{what} would materialize {n:,} vertices on the driver; "

@@ -57,7 +57,7 @@ def _spark():
     if s is None:
         raise RuntimeError(
             "backend='spark' needs an active SparkSession "
-            "(create one with nx_neptune_spark.session.get_session())"
+            "(create one with nx_neptune_spark.session.get_spark())"
         )
     return s
 

@@ -107,47 +107,6 @@ def lsh_bucket_keys(
     return F.array(*keys)
 
 
-def lsh_probe_keys(
-    vec: Column, dim: int, tables: int = 4, planes: int = 8, probe_bits: int = 1
-) -> Column:
-    """Multiprobe key set: each table's exact key plus every variant
-    within Hamming distance ``probe_bits`` of it (probe_bits=1 ->
-    tables*(planes+1) keys; probe_bits=2 adds the C(planes,2) two-bit
-    flips per table). Probing the query side widens each lookup to all
-    near buckets -- the classic recall boost that costs extra keys on
-    the SMALL side only, instead of more tables (which would grow the
-    corpus index). Distance-2 probing recovers neighbors whose sketch
-    differs by two planes in EVERY table -- the failure mode behind
-    recall plateaus that more tables cannot fix."""
-    from itertools import combinations
-
-    qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
-    keys = []
-    for t in range(tables):
-        bits = []
-        for p in range(planes):
-            hp = _hyperplane(dim, t, p)
-            s = F.aggregate(
-                F.zip_with(qv, F.array(*[F.lit(v) for v in hp]), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
-        flip_sets = [()]
-        if probe_bits >= 1:
-            flip_sets += [(i,) for i in range(planes)]
-        if probe_bits >= 2:
-            flip_sets += list(combinations(range(planes), 2))
-        for flips in flip_sets:
-            var = [
-                (F.lit(1) - b) if i in flips else b for i, b in enumerate(bits)
-            ]
-            keys.append(
-                F.concat(F.lit(f"t{t}:"), *[v.cast("string") for v in var])
-            )
-    return F.array(*keys)
-
-
 def _plane_dots(vec: Column, dim: int, tables: int, planes: int) -> Column:
     """All tables*planes quantized hyperplane dot products in ONE array
     column: one zip_with/aggregate pass per plane over a SHARED
@@ -298,13 +257,27 @@ def near_duplicate_pairs(
     whose table keys differ by <= probe_bits becomes a candidate
     (Hamming adjacency is symmetric, so probing one side covers both
     orders)."""
-    c = _exploded_buckets(
-        corpus, dim, tables, planes, 0,
-        [F.col(id_col).alias("id"), F.col(vec_col).alias("v")], vec_col,
+    # one plane-dot pass for the whole corpus; the lazy localCheckpoint
+    # materializes it at job time serving BOTH join sides (otherwise
+    # Catalyst re-evaluates the tables*planes dot products per side)
+    wd = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _plane_dots(F.col(vec_col), dim, tables, planes).alias("__dots"),
+    ).localCheckpoint(eager=False)
+    c = wd.select(
+        "id", "v",
+        F.explode(_keys_from_dots(F.col("__dots"), tables, planes, 0)).alias("bucket"),
     )
-    cl = _exploded_buckets(
-        corpus, dim, tables, planes, probe_bits if multiprobe else 0,
-        [F.col(id_col).alias("id"), F.col(vec_col).alias("v")], vec_col,
+    cl = (
+        wd.select(
+            "id", "v",
+            F.explode(
+                _keys_from_dots(F.col("__dots"), tables, planes, probe_bits)
+            ).alias("bucket"),
+        )
+        if multiprobe
+        else c
     )
     pairs = (
         cl.alias("l")

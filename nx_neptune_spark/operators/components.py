@@ -151,7 +151,7 @@ def _star_contraction(
         new_e = cp.checkpoint(small, IterationMetrics(iteration=it), lazy=True)
         e = new_e
         if is_star_forest(new_e):
-            cp.finalize(it)
+            cp.finalize(it, state=new_e)
             break
     # star forest: v (child) -> u (root/min); roots map to themselves
     child = e.select(F.col("v").alias("vid"), F.col("u").alias("component"))
@@ -203,7 +203,7 @@ def _min_label_propagation(
         )
         labels = new_labels
         if changed == 0:
-            cp.finalize(it)
+            cp.finalize(it, state=labels)
             break
     sym.unpersist()
     return labels

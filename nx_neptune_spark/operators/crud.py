@@ -72,6 +72,7 @@ def insert_nodes(graph: LinkGraph, names: Iterable[str] | DataFrame) -> LinkGrap
         graph.edges,
         graph.vertices.unionByName(added, allowMissingColumns=True),
         directed=graph.directed,
+        vids_non_negative=graph.vids_non_negative,
     )
 
 
@@ -119,7 +120,10 @@ def insert_edges(
         g.edges.select("src", "dst"), ["src", "dst"], "left_anti"
     )
     merged = g.edges.unionByName(fresh, allowMissingColumns=True)
-    return LinkGraph(merged, g.vertices, directed=graph.directed)
+    return LinkGraph(
+        merged, g.vertices, directed=graph.directed,
+        vids_non_negative=g.vids_non_negative,
+    )
 
 
 # -- B7/B8: property updates -------------------------------------------------
@@ -142,7 +146,8 @@ def update_nodes(
             ),
         ).otherwise(F.col("properties")),
     )
-    return LinkGraph(graph.edges, updated, directed=graph.directed)
+    return LinkGraph(graph.edges, updated, directed=graph.directed,
+                     vids_non_negative=graph.vids_non_negative)
 
 
 def update_edges(
@@ -166,7 +171,8 @@ def update_edges(
             ),
         ).otherwise(F.col("properties")),
     )
-    return LinkGraph(updated, graph.vertices, directed=graph.directed)
+    return LinkGraph(updated, graph.vertices, directed=graph.directed,
+                     vids_non_negative=graph.vids_non_negative)
 
 
 # -- B9/B10/B11: deletes ------------------------------------------------------
@@ -182,7 +188,9 @@ def delete_nodes(graph: LinkGraph, names: list[str]) -> LinkGraph:
         graph.edges.join(doomed.withColumnRenamed("vid", "src"), "src", "left_anti")
         .join(doomed.withColumnRenamed("vid", "dst"), "dst", "left_anti")
     )
-    return LinkGraph(edges.select(graph.edges.columns), vertices, directed=graph.directed)
+    return LinkGraph(edges.select(graph.edges.columns), vertices,
+                     directed=graph.directed,
+                     vids_non_negative=graph.vids_non_negative)
 
 
 def delete_edges(graph: LinkGraph, pairs: list[tuple]) -> LinkGraph:
@@ -192,7 +200,8 @@ def delete_edges(graph: LinkGraph, pairs: list[tuple]) -> LinkGraph:
     spark = graph.spark
     doomed = spark.createDataFrame(idpairs, "src long, dst long")
     edges = graph.edges.join(doomed, ["src", "dst"], "left_anti")
-    return LinkGraph(edges, graph.vertices, directed=graph.directed)
+    return LinkGraph(edges, graph.vertices, directed=graph.directed,
+                     vids_non_negative=graph.vids_non_negative)
 
 
 def clear_graph(graph: LinkGraph) -> LinkGraph:
@@ -202,4 +211,5 @@ def clear_graph(graph: LinkGraph) -> LinkGraph:
         spark.createDataFrame([], "src long, dst long"),
         spark.createDataFrame([], "vid long, name string"),
         directed=graph.directed,
+        vids_non_negative=True,
     )

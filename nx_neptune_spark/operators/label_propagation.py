@@ -103,7 +103,7 @@ def label_propagation(
         )
         labels = new_labels
         if changed == 0:
-            cp.finalize(it)
+            cp.finalize(it, state=labels)
             break
     edges.unpersist()
     return labels

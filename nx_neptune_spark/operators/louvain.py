@@ -149,6 +149,7 @@ def _local_moving(
     two_m = edges.agg(F.sum("w")).first()[0]  # = 2m (sym edges)
     comm = cp.truncate(deg.select("vid", F.col("vid").alias("c")))
 
+    q_prev: float | None = None
     for it in range(max_iterations):
         sigma = (
             comm.join(deg, "vid").groupBy("c").agg(F.sum("k").alias("sigma"))
@@ -220,18 +221,22 @@ def _local_moving(
             .limit(1)
             .count()
         )
-        if iteration_tolerance > 0.0 and changed:
-            # reference iterationTolerance: stop sweeping when a sweep's
-            # modularity gain drops below the threshold
-            q_old = _modularity(edges, comm, deg, float(two_m))
-            q_new = _modularity(edges, new_comm, deg, float(two_m))
-            if q_new - q_old < iteration_tolerance:
-                if q_new >= q_old:
-                    comm = new_comm
-                break
         comm = new_comm
         if changed == 0 and it % 2 == 1:  # both parities settled
             break
+        # reference iterationTolerance: stop local moving when the
+        # modularity gain drops below the threshold. Evaluated only at
+        # PARITY-PAIR boundaries (odd it): a single sweep moves only
+        # vid%2 == it%2 nodes, so a marginal even-parity sweep says
+        # nothing about the odd parity's pending gains — NX threshold
+        # semantics assume a full pass over all nodes. One modularity
+        # action per pair (the pair-end value carries over as the next
+        # pair's baseline), not two per sweep.
+        if iteration_tolerance > 0.0 and it % 2 == 1:
+            q_now = _modularity(edges, comm, deg, float(two_m))
+            if q_prev is not None and q_now - q_prev < iteration_tolerance:
+                break
+            q_prev = q_now
     edges.unpersist()
     deg.unpersist()
     return comm

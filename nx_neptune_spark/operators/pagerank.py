@@ -334,7 +334,7 @@ def _pagerank_impl(
         ranks = new_state
         if fixed_iterations is None and delta < n * tol:
             converged = True
-            cp.finalize(it, metrics)
+            cp.finalize(it, metrics, state=new_state)
             break
     links.unpersist()
     out_w.unpersist()

@@ -148,8 +148,21 @@ class CheckpointManager:
         manifest["metrics"] = metrics.to_dict()
         self._write_manifest(d, manifest)
 
-    def finalize(self, iteration: int, metrics: IterationMetrics | None = None) -> None:
-        """Mark the run converged in the final manifest."""
+    def finalize(
+        self,
+        iteration: int,
+        metrics: IterationMetrics | None = None,
+        state: DataFrame | None = None,
+    ) -> None:
+        """Mark the run converged in the final manifest.
+
+        If the converged iteration was off the ``every`` stride (so no
+        durable state exists for it), the final ``state`` DataFrame is
+        durably written first — a complete manifest must always point
+        at the state it claims is final. Without ``state`` in that
+        case, nothing is written: the latest durable manifest stays
+        incomplete and a resumed run correctly re-executes the last few
+        iterations instead of being handed stale state as final."""
         if self.checkpoint_dir is None:
             return
         d = self.iter_dir(iteration)
@@ -157,8 +170,20 @@ class CheckpointManager:
         if os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)
+        elif state is not None:
+            state_path = os.path.join(d, "state.parquet")
+            state.write.mode("overwrite").parquet(state_path)
+            manifest = {
+                "algorithm": self.algorithm,
+                "run_id": self.run_id,
+                "params": self.params,
+                "state_path": state_path,
+                "schema": state.schema.json(),
+                "partition_lineage": self._partition_lineage(state_path),
+                "metrics": (metrics or IterationMetrics(iteration=iteration)).to_dict(),
+            }
         else:
-            manifest = {"algorithm": self.algorithm, "run_id": self.run_id}
+            return
         manifest["complete"] = True
         if metrics is not None:
             manifest["metrics"] = metrics.to_dict()
@@ -177,10 +202,14 @@ class CheckpointManager:
             if d.startswith("iter_")
             and os.path.exists(os.path.join(self.run_dir(), d, MANIFEST_NAME))
         )
-        if not iters:
-            return None
-        with open(os.path.join(self.run_dir(), iters[-1], MANIFEST_NAME)) as f:
-            return json.load(f)
+        # newest manifest that actually carries durable state (guards
+        # against stub manifests from interrupted/legacy finalize calls)
+        for it_dir in reversed(iters):
+            with open(os.path.join(self.run_dir(), it_dir, MANIFEST_NAME)) as f:
+                m = json.load(f)
+            if m.get("state_path") and "metrics" in m:
+                return m
+        return None
 
     def resume(self) -> tuple[DataFrame, dict[str, Any]] | None:
         """(state_df, manifest) of the latest checkpoint, or None."""

@@ -20,6 +20,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# session-id -> nesting depth / saved conf for adaptive_disabled scopes
+_AQE_SCOPE_DEPTH: dict[int, int] = {}
+_AQE_SCOPE_PREV: dict[int, str] = {}
+
 
 @contextmanager
 def adaptive_disabled(spark: SparkSession, disable: bool = True):
@@ -46,12 +50,23 @@ def adaptive_disabled(spark: SparkSession, disable: bool = True):
         yield
         return
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    # Reentrancy guard: nested/overlapping scopes on the same session
+    # (e.g. triangle_count inside a pagerank-driven pipeline, or two
+    # driver threads) must not read each other's "false" as the value
+    # to restore — only the outermost scope snapshots and restores.
+    depth = _AQE_SCOPE_DEPTH.get(id(spark), 0)
+    if depth == 0:
+        _AQE_SCOPE_PREV[id(spark)] = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+    _AQE_SCOPE_DEPTH[id(spark)] = depth + 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        d = _AQE_SCOPE_DEPTH.get(id(spark), 1) - 1
+        _AQE_SCOPE_DEPTH[id(spark)] = d
+        if d == 0:
+            spark.conf.set(key, _AQE_SCOPE_PREV.pop(id(spark), "true"))
+            del _AQE_SCOPE_DEPTH[id(spark)]
 
 
 def get_spark(

@@ -122,3 +122,44 @@ def test_lpa_resume_mid_run_identical(spark, tmp_path):
     }
     assert resumed == full
     assert cp_b.latest_manifest()["complete"] is True
+
+
+def test_off_stride_finalize_resume(spark, tmp_path):
+    """Convergence on an iteration off the `every` stride must still
+    leave a resumable run: finalize durably writes the final state (a
+    stub manifest without state would crash resume with KeyError)."""
+    from nx_neptune_spark.operators.components import connected_components
+    from fixtures_graphs import barabasi
+
+    lg = LinkGraph.from_networkx(spark, barabasi())
+    ckdir = str(tmp_path / "ck_stride")
+    cp = CheckpointManager(
+        spark, ckdir, run_id="stride", algorithm="connected_components", every=7
+    )
+    first = {r["vid"]: r["component"] for r in connected_components(lg, checkpoint=cp).collect()}
+
+    # a fresh manager on the same dir must resume cleanly (either a
+    # complete manifest with real state, or an honest nothing-durable)
+    cp2 = CheckpointManager(
+        spark, ckdir, run_id="stride", algorithm="connected_components", every=7
+    )
+    res = cp2.resume()
+    if res is not None:
+        state, manifest = res
+        assert "metrics" in manifest and manifest.get("state_path")
+    again = {r["vid"]: r["component"] for r in connected_components(lg, checkpoint=cp2).collect()}
+    assert again == first
+
+
+def test_adaptive_disabled_nesting(spark):
+    from nx_neptune_spark.session import adaptive_disabled
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    with adaptive_disabled(spark):
+        assert spark.conf.get(key) == "false"
+        with adaptive_disabled(spark):
+            assert spark.conf.get(key) == "false"
+        # inner exit must NOT restore early
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == orig
