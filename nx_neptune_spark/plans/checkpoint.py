@@ -204,12 +204,33 @@ class CheckpointManager:
         )
         # newest manifest that actually carries durable state (guards
         # against stub manifests from interrupted/legacy finalize calls)
+        # AND whose recorded partition lineage matches the files on
+        # disk — a checkpoint from a run killed mid-write (or a state
+        # dir later corrupted) is skipped so resume falls back to the
+        # previous intact iteration instead of loading torn state.
         for it_dir in reversed(iters):
             with open(os.path.join(self.run_dir(), it_dir, MANIFEST_NAME)) as f:
                 m = json.load(f)
-            if m.get("state_path") and "metrics" in m:
+            if m.get("state_path") and "metrics" in m and self._lineage_intact(m):
                 return m
         return None
+
+    def _lineage_intact(self, manifest: dict[str, Any]) -> bool:
+        """True iff every part file in the recorded partition lineage
+        exists with the recorded byte size (and no extras appeared)."""
+        lineage = manifest.get("partition_lineage")
+        state_path = manifest["state_path"]
+        if lineage is None:
+            return os.path.isdir(state_path)  # legacy manifest: trust dir
+        try:
+            on_disk = {
+                fn: os.path.getsize(os.path.join(state_path, fn))
+                for fn in os.listdir(state_path)
+                if fn.startswith("part-")
+            }
+        except OSError:
+            return False
+        return on_disk == {p["file"]: p["bytes"] for p in lineage}
 
     def resume(self) -> tuple[DataFrame, dict[str, Any]] | None:
         """(state_df, manifest) of the latest checkpoint, or None."""

@@ -163,3 +163,29 @@ def test_adaptive_disabled_nesting(spark):
         # inner exit must NOT restore early
         assert spark.conf.get(key) == "false"
     assert spark.conf.get(key) == orig
+
+
+def test_resume_skips_corrupt_lineage(spark, tmp_path):
+    """A checkpoint whose state files don't match the recorded
+    per-partition lineage (torn write / corruption) is skipped; resume
+    falls back to the previous intact iteration."""
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    ckdir = str(tmp_path / "ck_lineage")
+    cp = CheckpointManager(spark, ckdir, run_id="lin", algorithm="pagerank")
+    try:
+        pagerank(lg, checkpoint=cp, max_iter=4, raise_on_no_convergence=False)
+    except Exception:
+        pass
+    run_dir = os.path.join(ckdir, "lin")
+    iters = sorted(d for d in os.listdir(run_dir) if d.startswith("iter_"))
+    assert len(iters) >= 2
+    # corrupt the newest checkpoint: change one part file's size
+    newest = os.path.join(run_dir, iters[-1], "state.parquet")
+    part = next(f for f in sorted(os.listdir(newest)) if f.startswith("part-"))
+    with open(os.path.join(newest, part), "ab") as f:
+        f.write(b"torn")
+    cp2 = CheckpointManager(spark, ckdir, run_id="lin", algorithm="pagerank")
+    m = cp2.latest_manifest()
+    assert m is not None
+    assert m["metrics"]["iteration"] == int(iters[-2].split("_")[1])
