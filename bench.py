@@ -72,6 +72,9 @@ def main() -> None:
     _cc(wg).count()
     _tc(wg).count()
     wpages.unpersist()
+    from nx_neptune_spark.operators.dedup import minhash_lsh_pairs as _ml
+
+    _ml(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)).count()
 
     # -- flagship: pages -> extraction -> edges ---------------------------
     t0 = time.time()
