@@ -316,12 +316,13 @@ class LinkGraph:
         )
 
     def num_vertices(self) -> int:
-        # memoized per vertices-DataFrame instance (vertices are
-        # replaced wholesale by CRUD ops, never mutated in place)
-        key = id(self.vertices)
-        if getattr(self, "_nv_key", None) != key:
+        # memoized per vertices-DataFrame object. Holding the DataFrame
+        # reference (not its id()) makes the cache immune to CPython
+        # id reuse after a `graph.vertices = ...` reassignment frees
+        # the old object (api._write_vertex_property does exactly that)
+        if getattr(self, "_nv_df", None) is not self.vertices:
             self._nv_val = self.vertices.count()
-            self._nv_key = key
+            self._nv_df = self.vertices
         return self._nv_val
 
     #: Hard cap for the NetworkX-dict adapters below (and the api.py

@@ -86,25 +86,11 @@ def lsh_bucket_keys(
     vec: Column, dim: int, tables: int = 4, planes: int = 8
 ) -> Column:
     """Array of `tables` bucket keys; key = bit-string of hyperplane
-    signs over the *quantized* vector (exact integer dot products)."""
-    qv = F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
-    keys = []
-    for t in range(tables):
-        bits = []
-        for p in range(planes):
-            hp = _hyperplane(dim, t, p)
-            s = F.aggregate(
-                F.zip_with(
-                    qv,
-                    F.array(*[F.lit(v) for v in hp]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(F.lit(f"t{t}:"), *bits))
-    return F.array(*keys)
+    signs over the *quantized* vector (exact integer dot products).
+    Thin public wrapper over the single key encoder
+    (_plane_dots/_keys_from_dots) so the key format has exactly one
+    source of truth."""
+    return _keys_from_dots(_plane_dots(vec, dim, tables, planes), tables, planes, 0)
 
 
 def _plane_dots(vec: Column, dim: int, tables: int, planes: int) -> Column:

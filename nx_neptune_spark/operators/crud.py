@@ -83,7 +83,14 @@ def insert_edges(
 ) -> LinkGraph:
     """Edge upsert: MERGE semantics (no duplicate (src,dst) rows,
     opencypher_builder.py:257-295); undirected graphs materialize both
-    directions like the reference (:311-321) via symmetric_edges()."""
+    directions like the reference (:311-321) via symmetric_edges().
+
+    ``directed=False`` inserts the batch as undirected relationships —
+    both (a,b) and (b,a) rows are MERGEd — even into a directed graph
+    (the reference's double-insert, :311-321). ``None`` inherits the
+    graph's own directedness (a directed graph gets one row per pair;
+    an undirected graph stores one canonical row and both directions
+    come from the symmetric_edges() view)."""
     spark = graph.spark
     if isinstance(pairs, DataFrame):
         new_named = pairs.select(
@@ -113,6 +120,12 @@ def insert_edges(
         )
         .select("src", "dst")
     )
+    if directed is False and graph.directed:
+        # reference double-insert: an undirected relationship in a
+        # directed graph stores both orientations
+        new_edges = new_edges.unionByName(
+            new_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     # MERGE semantics preserving extra edge columns (weight, properties,
     # ...): existing rows are kept verbatim; only genuinely-new (src,dst)
     # pairs are appended, with nulls for columns the insert doesn't set.

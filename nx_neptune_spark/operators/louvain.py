@@ -150,6 +150,7 @@ def _local_moving(
     comm = cp.truncate(deg.select("vid", F.col("vid").alias("c")))
 
     q_prev: float | None = None
+    prev_comm = comm  # assignment at the last evaluated pair boundary
     for it in range(max_iterations):
         sigma = (
             comm.join(deg, "vid").groupBy("c").agg(F.sum("k").alias("sigma"))
@@ -235,8 +236,13 @@ def _local_moving(
         if iteration_tolerance > 0.0 and it % 2 == 1:
             q_now = _modularity(edges, comm, deg, float(two_m))
             if q_prev is not None and q_now - q_prev < iteration_tolerance:
+                if q_now < q_prev:
+                    # parity-damped synchronous moving can oscillate;
+                    # a modularity-DECREASING pair is never kept
+                    comm = prev_comm
                 break
             q_prev = q_now
+            prev_comm = comm
     edges.unpersist()
     deg.unpersist()
     return comm

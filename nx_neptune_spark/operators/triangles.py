@@ -93,26 +93,28 @@ def triangle_count(graph: LinkGraph, disable_adaptive: bool = True) -> DataFrame
     released before return."""
     with adaptive_disabled(graph.spark, disable_adaptive):
         o = _oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
-        tris = triangle_list(graph, oriented=o)
-        corners = (
-            tris.select(F.col("x").alias("vid"))
-            .unionAll(tris.select(F.col("y").alias("vid")))
-            .unionAll(tris.select(F.col("z").alias("vid")))
-        )
-        counts = corners.groupBy("vid").agg(F.count("*").alias("triangles"))
-        out = (
-            graph.vertices.select("vid")
-            .join(counts, "vid", "left")
-            .select("vid", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-            .localCheckpoint(eager=True)
-        )
-        o.unpersist()
-        return out
+        try:
+            tris = triangle_list(graph, oriented=o)
+            corners = (
+                tris.select(F.col("x").alias("vid"))
+                .unionAll(tris.select(F.col("y").alias("vid")))
+                .unionAll(tris.select(F.col("z").alias("vid")))
+            )
+            counts = corners.groupBy("vid").agg(F.count("*").alias("triangles"))
+            return (
+                graph.vertices.select("vid")
+                .join(counts, "vid", "left")
+                .select("vid", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            o.unpersist()
 
 
 def total_triangles(graph: LinkGraph, disable_adaptive: bool = True) -> int:
     with adaptive_disabled(graph.spark, disable_adaptive):
         o = _oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
-        n = triangle_list(graph, oriented=o).count()
-        o.unpersist()
-        return n
+        try:
+            return triangle_list(graph, oriented=o).count()
+        finally:
+            o.unpersist()

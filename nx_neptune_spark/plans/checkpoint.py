@@ -167,9 +167,20 @@ class CheckpointManager:
             return
         d = self.iter_dir(iteration)
         mpath = os.path.join(d, MANIFEST_NAME)
+        existing = None
         if os.path.exists(mpath):
             with open(mpath) as f:
-                manifest = json.load(f)
+                existing = json.load(f)
+            # heal a torn checkpoint: if the recorded lineage no longer
+            # matches the files on disk (earlier run killed mid-write)
+            # and we hold the final state, rewrite it instead of
+            # stamping complete on state resume() will rightly skip
+            if state is not None and (
+                not existing.get("state_path") or not self._lineage_intact(existing)
+            ):
+                existing = None
+        if existing is not None:
+            manifest = existing
         elif state is not None:
             state_path = os.path.join(d, "state.parquet")
             state.write.mode("overwrite").parquet(state_path)

@@ -14,13 +14,18 @@ AQE + skew-join handling, adaptive coalescing, Arrow for pandas UDFs.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
-# session-id -> nesting depth / saved conf for adaptive_disabled scopes
+# session-id -> nesting depth / saved conf for adaptive_disabled scopes;
+# _AQE_SCOPE_LOCK serializes the bookkeeping AND the conf writes so two
+# driver threads entering/exiting scopes concurrently cannot snapshot
+# each other's "false" or restore out of order
+_AQE_SCOPE_LOCK = threading.Lock()
 _AQE_SCOPE_DEPTH: dict[int, int] = {}
 _AQE_SCOPE_PREV: dict[int, str] = {}
 
@@ -54,19 +59,22 @@ def adaptive_disabled(spark: SparkSession, disable: bool = True):
     # (e.g. triangle_count inside a pagerank-driven pipeline, or two
     # driver threads) must not read each other's "false" as the value
     # to restore — only the outermost scope snapshots and restores.
-    depth = _AQE_SCOPE_DEPTH.get(id(spark), 0)
-    if depth == 0:
-        _AQE_SCOPE_PREV[id(spark)] = spark.conf.get(key, "true")
-        spark.conf.set(key, "false")
-    _AQE_SCOPE_DEPTH[id(spark)] = depth + 1
+    with _AQE_SCOPE_LOCK:
+        depth = _AQE_SCOPE_DEPTH.get(id(spark), 0)
+        if depth == 0:
+            _AQE_SCOPE_PREV[id(spark)] = spark.conf.get(key, "true")
+            spark.conf.set(key, "false")
+        _AQE_SCOPE_DEPTH[id(spark)] = depth + 1
     try:
         yield
     finally:
-        d = _AQE_SCOPE_DEPTH.get(id(spark), 1) - 1
-        _AQE_SCOPE_DEPTH[id(spark)] = d
-        if d == 0:
-            spark.conf.set(key, _AQE_SCOPE_PREV.pop(id(spark), "true"))
-            del _AQE_SCOPE_DEPTH[id(spark)]
+        with _AQE_SCOPE_LOCK:
+            d = _AQE_SCOPE_DEPTH.get(id(spark), 1) - 1
+            if d == 0:
+                spark.conf.set(key, _AQE_SCOPE_PREV.pop(id(spark), "true"))
+                _AQE_SCOPE_DEPTH.pop(id(spark), None)
+            else:
+                _AQE_SCOPE_DEPTH[id(spark)] = d
 
 
 def get_spark(

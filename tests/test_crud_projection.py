@@ -163,3 +163,23 @@ def test_create_csv_table_escapes_path(spark, tmp_path):
     create_csv_table(spark, "quoted_path_tbl", str(d))
     assert spark.table("quoted_path_tbl").count() == 1
     drop_table(spark, "quoted_path_tbl")
+
+
+def test_insert_edges_undirected_double_insert(spark):
+    """directed=False MERGEs both orientations into a directed graph
+    (reference double-insert, opencypher_builder.py:311-321)."""
+    from nx_neptune_spark.graph import LinkGraph
+    import pyspark.sql.functions as F
+
+    base = LinkGraph(
+        spark.createDataFrame([], "src long, dst long"),
+        spark.createDataFrame([], "vid long, name string"),
+        directed=True,
+    )
+    g = insert_edges(base, [("A", "B")], directed=False)
+    pairs = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    vid = {r["name"]: r["vid"] for r in g.vertices.collect()}
+    assert (vid["A"], vid["B"]) in pairs and (vid["B"], vid["A"]) in pairs
+    # default (None) on a directed graph stays single-direction
+    g1 = insert_edges(base, [("A", "B")])
+    assert g1.edges.count() == 1
