@@ -179,6 +179,24 @@ def q_degree_centrality(spark, sf_dir):
     )
 
 
+def q_in_degree_centrality(spark, sf_dir):
+    from nx_neptune_spark.operators.degree import degree_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    return degree_centrality(g, direction="in").select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
+def q_out_degree_centrality(spark, sf_dir):
+    from nx_neptune_spark.operators.degree import degree_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    return degree_centrality(g, direction="out").select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
 def q_bfs_levels(spark, sf_dir):
     from nx_neptune_spark.operators.bfs import bfs_levels
 
@@ -210,6 +228,18 @@ def q_closeness(spark, sf_dir):
 
     g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
     return closeness_centrality(g, wf_improved=True).select(
+        "vid", F.round("closeness", 8).alias("closeness")
+    )
+
+
+def q_closeness_sources(spark, sf_dir):
+    """Source-list fast path (reference single-source/source-list query
+    form, opencypher_builder.py:860-905): BFS trees only for the listed
+    sources; oracle restricts the recursive-CTE roots identically."""
+    from nx_neptune_spark.operators.closeness import closeness_centrality
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    return closeness_centrality(g, wf_improved=True, sources=[0, 7, 23]).select(
         "vid", F.round("closeness", 8).alias("closeness")
     )
 
@@ -523,10 +553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "triangle_count": q_triangle_count,
         "degree_centrality": q_degree_centrality,
+        "in_degree_centrality": q_in_degree_centrality,
+        "out_degree_centrality": q_out_degree_centrality,
         "bfs_levels": q_bfs_levels,
         "bfs_layers": q_bfs_layers,
         "descendants_at_distance": q_descendants_at_distance,
         "closeness_centrality": q_closeness,
+        "closeness_sources": q_closeness_sources,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -666,10 +699,12 @@ FROM ids d LEFT JOIN corners cn ON cn.vid = d.i GROUP BY d.i
 """
 
 
-def _degree_sql() -> str:
+def _degree_sql(
+    ends: str = "SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges",
+) -> str:
     return f"""
 WITH {_GRAPH_CTES.strip()},
-ends AS (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges),
+ends AS ({ends}),
 deg AS (SELECT vid, count(*) AS d FROM ends GROUP BY vid)
 SELECT i AS vid, round(coalesce(deg.d, 0) / (n.c - 1.0), 8) AS centrality
 FROM ids CROSS JOIN n LEFT JOIN deg ON deg.vid = ids.i
@@ -699,14 +734,14 @@ ml AS (SELECT vid, min(level) AS level FROM lv GROUP BY vid)
 """
 
 
-def _closeness_sql() -> str:
+def _closeness_sql(roots: str = "") -> str:
     return f"""
 WITH RECURSIVE
 ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
 ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
 sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
 d(s, v, dist) AS (
-  SELECT i, i, 0 FROM ids
+  SELECT i, i, 0 FROM ids{roots}
   UNION
   SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v WHERE dd.dist < 40
 ),
@@ -923,12 +958,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "triangle_count": _triangles_sql(),
         "degree_centrality": _degree_sql(),
+        "in_degree_centrality": _degree_sql("SELECT dst AS vid FROM edges"),
+        "out_degree_centrality": _degree_sql("SELECT src AS vid FROM edges"),
         "bfs_levels": _bfs_sql("SELECT vid, level FROM ml"),
         "bfs_layers": _bfs_sql(
             "SELECT level, count(*) AS n_members FROM ml GROUP BY level"
         ),
         "descendants_at_distance": _bfs_sql("SELECT vid FROM ml WHERE level = 3"),
         "closeness_centrality": _closeness_sql(),
+        "closeness_sources": _closeness_sql(" WHERE i IN (0, 7, 23)"),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"
