@@ -204,6 +204,16 @@ def q_bfs_levels(spark, sf_dir):
     return bfs_levels(g, [0], max_depth=BFS_MAX_DEPTH)
 
 
+def q_bfs_parents(spark, sf_dir):
+    """Deterministic BFS tree (min-vid parent per child); oracle takes
+    min(src) over all level-(l-1) in-neighbors, which is exactly the
+    frontier-min the operator computes."""
+    from nx_neptune_spark.operators.bfs import bfs_parents
+
+    g = _pr_graph(spark, sf_dir)
+    return bfs_parents(g, 0, depth_limit=BFS_MAX_DEPTH)
+
+
 def q_bfs_layers(spark, sf_dir):
     from nx_neptune_spark.operators.bfs import bfs_layers
 
@@ -557,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree_centrality": q_out_degree_centrality,
         "bfs_levels": q_bfs_levels,
         "bfs_layers": q_bfs_layers,
+        "bfs_parents": q_bfs_parents,
         "descendants_at_distance": q_descendants_at_distance,
         "closeness_centrality": q_closeness,
         "closeness_sources": q_closeness_sources,
@@ -965,6 +976,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT level, count(*) AS n_members FROM ml GROUP BY level"
         ),
         "descendants_at_distance": _bfs_sql("SELECT vid FROM ml WHERE level = 3"),
+        "bfs_parents": _bfs_sql(
+            "SELECT min(e.src) AS parent, c.vid AS child FROM ml c"
+            " JOIN edges e ON e.dst = c.vid"
+            " JOIN ml p ON p.vid = e.src AND p.level = c.level - 1"
+            " WHERE c.level > 0 GROUP BY c.vid"
+        ),
         "closeness_centrality": _closeness_sql(),
         "closeness_sources": _closeness_sql(" WHERE i IN (0, 7, 23)"),
         "dedup_exact": (
