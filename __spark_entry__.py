@@ -310,6 +310,17 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Exact-by-pigeonhole SimHash near-dup pairs (hamming <= 3); the
+    oracle brute-forces all pairs, so this pins the operator's
+    candidate generation to EXACT recall."""
+    from nx_neptune_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir)).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from nx_neptune_spark.functions.text import bpe_token_count, whitespace_token_count
 
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "quality_language": q_quality_language,
         "doc_fingerprints": q_doc_fingerprints,
@@ -993,6 +1005,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "simhash": _simhash_sql(),
+        "simhash_pairs": (
+            "WITH sh AS (" + _simhash_sql().strip().rstrip() + ") "
+            "SELECT l.doc_id AS a, r.doc_id AS b, "
+            "CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming "
+            "FROM sh l JOIN sh r ON l.doc_id < r.doc_id "
+            "WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"
+        ),
         "token_stats": (
             "SELECT doc_id,"
             " CASE WHEN length(trim(text)) = 0 THEN 0"

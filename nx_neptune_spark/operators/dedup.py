@@ -347,20 +347,35 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one 8-bit half
-    (pigeonhole: hamming<=max_hamming<8 implies one half equal), then
-    exact Hamming filter via bit_count(xor). Output (a, b, hamming)."""
+    """Near-dup pairs by SimHash, EXACT for hamming <= max_hamming:
+    the fingerprint is split into ``max_hamming + 1`` contiguous parts,
+    so by pigeonhole any pair within the Hamming budget shares at least
+    one part verbatim (k differing bits cannot touch all k+1 parts).
+    Candidates = bucket join on (part, part_value); exact Hamming
+    filter via bit_count(xor). Output (a, b, hamming).
+
+    Scale note: part keys are bits/(max_hamming+1) wide, so bucket
+    selectivity grows with fingerprint width — at web scale use
+    bits=64 (16-bit part keys) rather than the 16-bit default that the
+    DuckDB oracle parity uses (4-bit keys -> corpus/16 per bucket)."""
     fp = simhash_fingerprints(docs, id_col, text_col, bits)
-    half = bits // 2
+    n_parts = max_hamming + 1
+    base_w = bits // n_parts
+    extra = bits % n_parts  # first `extra` parts get one more bit
+    part_structs, off = [], 0
+    for p in range(n_parts):
+        w = base_w + (1 if p < extra else 0)
+        part_structs.append(
+            F.struct(
+                F.lit(p).alias("part"),
+                (F.shiftright(F.col("simhash"), off) % F.lit(1 << w)).alias("key"),
+            )
+        )
+        off += w
     keyed = fp.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("simhash") % F.lit(1 << half)).alias("key")),
-                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("simhash"), half).alias("key")),
-            )
-        ).alias("pk"),
+        F.explode(F.array(*part_structs)).alias("pk"),
     ).select("id", "simhash", F.col("pk.part").alias("part"), F.col("pk.key").alias("key"))
     pairs = (
         keyed.alias("l")

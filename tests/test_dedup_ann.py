@@ -334,3 +334,21 @@ def test_lsh_topk_distance2_multiprobe(spark, emb):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, f"distance-2 recall {r2} < distance-1 {r1}"
     assert r2 >= 0.8, f"distance-2 recall too low: {r2}"
+
+
+def test_simhash_pairs_exact_recall_vs_brute(spark, sf_dir):
+    """Regression: the old half-split candidate generation missed every
+    pair whose 2-3 differing bits spanned both halves (63% of true
+    pairs on sf0.01 docs). Pigeonhole now uses max_hamming+1 parts, so
+    recall against the all-pairs brute force must be exactly 1.0."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fp[a] ^ fp[b]).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    got = {(r["a"], r["b"], r["hamming"]) for r in simhash_pairs(docs).collect()}
+    assert got == brute
