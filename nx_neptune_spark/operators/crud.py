@@ -167,13 +167,20 @@ def update_edges(
     graph: LinkGraph, pairs: list[tuple], key: str, value: str
 ) -> LinkGraph:
     """SET r.key = value for (src_name, dst_name) pairs
-    (opencypher_builder.py:390-436)."""
+    (opencypher_builder.py:390-436). On undirected graphs the stored
+    row is canonical (one orientation), so the match accepts either
+    orientation — equivalent to the reference's double-insert model
+    where the directed pattern always finds the given orientation."""
     vid_of = graph.vid_of()
     idpairs = [(vid_of[str(a)], vid_of[str(b)]) for a, b in pairs]
     e = _with_props(graph.edges)
     cond = F.lit(False)
     for a, b in idpairs:  # OR-chain, mirroring the reference's WHERE
         cond = cond | ((F.col("src") == F.lit(int(a))) & (F.col("dst") == F.lit(int(b))))
+        if not graph.directed:
+            cond = cond | (
+                (F.col("src") == F.lit(int(b))) & (F.col("dst") == F.lit(int(a)))
+            )
     updated = e.withColumn(
         "properties",
         F.when(
@@ -207,9 +214,12 @@ def delete_nodes(graph: LinkGraph, names: list[str]) -> LinkGraph:
 
 
 def delete_edges(graph: LinkGraph, pairs: list[tuple]) -> LinkGraph:
-    """MATCH (a)-[r]->(b) DELETE r (opencypher_builder.py:461-487)."""
+    """MATCH (a)-[r]->(b) DELETE r (opencypher_builder.py:461-487).
+    Undirected graphs match either orientation of the canonical row."""
     vid_of = graph.vid_of()
     idpairs = [(vid_of[str(a)], vid_of[str(b)]) for a, b in pairs]
+    if not graph.directed:
+        idpairs = idpairs + [(b, a) for a, b in idpairs]
     spark = graph.spark
     doomed = spark.createDataFrame(idpairs, "src long, dst long")
     edges = graph.edges.join(doomed, ["src", "dst"], "left_anti")

@@ -183,3 +183,22 @@ def test_insert_edges_undirected_double_insert(spark):
     # default (None) on a directed graph stays single-direction
     g1 = insert_edges(base, [("A", "B")])
     assert g1.edges.count() == 1
+
+
+def test_update_delete_edges_undirected_either_orientation(spark):
+    """Undirected graphs store one canonical row; update/delete given
+    in the reverse orientation must still hit it (reference
+    double-insert equivalence)."""
+    from nx_neptune_spark.graph import LinkGraph
+
+    base = LinkGraph(
+        spark.createDataFrame([], "src long, dst long"),
+        spark.createDataFrame([], "vid long, name string"),
+        directed=False,
+    )
+    g = insert_edges(base, [("A", "B")])
+    g1 = update_edges(g, [("B", "A")], "kind", "strong")
+    props = [r["properties"] for r in g1.edges.collect()]
+    assert props and props[0]["kind"] == "strong"
+    g2 = delete_edges(g, [("B", "A")])
+    assert g2.edges.count() == 0
