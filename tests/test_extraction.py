@@ -116,3 +116,43 @@ def test_pagerank_end_to_end_on_pages(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_resolve_href_matches_urljoin_differential():
+    """The fast paths in _resolve_href must be byte-identical to
+    urljoin for every href shape they claim; hypothesis drives
+    adversarial combinations of schemes, dot segments, queries,
+    fragments and protocol-relative refs."""
+    from urllib.parse import urljoin
+    from hypothesis import given, settings, strategies as st
+
+    from nx_neptune_spark.functions.extraction import _resolve_href
+
+    seg = st.sampled_from(
+        ["page", "a", "..", ".", "x.html", "p%20q", "", "index", "..."]
+    )
+    href = st.one_of(
+        st.builds(lambda parts: "/".join(parts), st.lists(seg, max_size=4)),
+        st.builds(lambda parts: "/" + "/".join(parts), st.lists(seg, max_size=4)),
+        st.builds(lambda parts: "https://other.net/" + "/".join(parts), st.lists(seg, max_size=3)),
+        st.builds(lambda parts: "http://other.net/" + "/".join(parts), st.lists(seg, max_size=3)),
+        st.builds(lambda p: "//cdn.example.com/" + p, seg),
+        st.builds(lambda p, q: p + "?" + q, seg, seg),
+        st.builds(lambda p, f: p + "#" + f, seg, seg),
+        st.just("?"), st.just("#"), st.just(""),
+    )
+    base = st.sampled_from(
+        [
+            "https://example.org/page/42",
+            "https://example.org/a/b/",
+            "http://example.org",
+            "https://example.org/?q=1",
+        ]
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(base=base, h=href)
+    def check(base, h):
+        assert _resolve_href(base, h) == urljoin(base, h), (base, h)
+
+    check()
