@@ -215,11 +215,10 @@ def q_bfs_parents(spark, sf_dir):
 
 
 def q_bfs_layers(spark, sf_dir):
-    from nx_neptune_spark.operators.bfs import bfs_layers
-
     g = _pr_graph(spark, sf_dir)
     # layer sizes (arrays avoided for stable cross-engine hashing);
-    # cap depth via levels to mirror the SQL oracle
+    # cap depth via levels to mirror the SQL oracle; the richer
+    # bfs_layers operator (member arrays) is pytest-covered
     from nx_neptune_spark.operators.bfs import bfs_levels
 
     lv = bfs_levels(g, [0], max_depth=BFS_MAX_DEPTH)
@@ -680,7 +679,7 @@ grp AS (SELECT i, i - (i % 5) AS g FROM ids),
 sym AS (SELECT a.i AS src, b.i AS dst FROM grp a JOIN grp b ON a.g = b.g AND a.i <> b.i),
 lab0 AS (SELECT i AS vid, i AS label FROM ids)"""
     parts = [head]
-    iters = 3
+    iters = LPA_ITERS
     for k in range(1, iters + 1):
         parts.append(
             f""",

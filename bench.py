@@ -5,7 +5,8 @@ North-star metric (BASELINE.json): edges-processed/sec per PageRank
 iteration. The PageRank input is the full north-rule pipeline at bench
 scale: synthetic Common-Crawl-style pages -> pandas-UDF link extraction
 -> dense-id dictionary -> power iteration. Page count scales with sf
-(2M pages/sf => ~9M edges at sf=1).
+(10M pages/sf => ~45M edges at sf=1; 1M pages / ~4.5M edges at the
+driver's sf=0.1).
 
 Also times a representative slice of the entry queries (dedup, ANN,
 components, relational) on the driver-provided tables.
@@ -13,7 +14,7 @@ components, relational) on the driver-provided tables.
 Env:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS     default 32
-  SPARK_GRAFT_PAGES    override page count (else 2_000_000 * sf)
+  SPARK_GRAFT_PAGES    override page count (else 10_000_000 * sf)
   SPARK_GRAFT_PR_ITERS fixed PageRank iterations (default 10)
 """
 
@@ -28,9 +29,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def sf_of(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.1
+def sf_of(sf_dir: str) -> float | None:
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
+    return float(m.group(1)) if m else None
 
 
 def main() -> None:
@@ -40,7 +41,15 @@ def main() -> None:
     # 10M pages/sf => 1M pages (~4.5M extracted edges) at the driver's
     # sf0.1: large enough that per-stage fixed costs don't dominate the
     # north-star edges/sec/iteration figure
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(10_000_000 * sf))))
+    if os.environ.get("SPARK_GRAFT_PAGES"):
+        n_pages = int(os.environ["SPARK_GRAFT_PAGES"])
+    elif sf is not None:
+        n_pages = max(1000, int(10_000_000 * sf))
+    else:
+        raise SystemExit(
+            f"cannot infer scale from {sf_dir!r} (no sf<N> in path); "
+            "set SPARK_GRAFT_PAGES explicitly"
+        )
     pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
 
     from nx_neptune_spark.session import get_spark
@@ -55,6 +64,18 @@ def main() -> None:
     from nx_neptune_spark.graph import LinkGraph
     from nx_neptune_spark.operators.pagerank import pagerank
     from nx_neptune_spark.sources.pages import generate_pages
+
+    import pyspark.sql.functions as F
+
+    def _force(df):
+        """Force FULL evaluation of every output column; a bare
+        .count() lets Catalyst prune projected expressions (token
+        counts, decimal sums, bit aggregates), timing an empty-schema
+        scan instead of the operator. xxhash64 over a struct of all
+        columns defeats pruning while staying JVM-side."""
+        return df.agg(
+            F.max(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+        ).collect()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -95,7 +116,7 @@ def main() -> None:
     pr = pagerank(g, fixed_iterations=pr_iters)
     pr.select("rank").agg({"rank": "sum"}).collect()
     pr_secs = time.time() - t0
-    timings["pagerank_10iter"] = pr_secs
+    timings[f"pagerank_{pr_iters}iter"] = pr_secs
     extra["pagerank_iters"] = pr_iters
     extra["edges_per_sec_per_iter"] = round(n_edges * pr_iters / pr_secs, 1)
 
@@ -113,7 +134,7 @@ def main() -> None:
     timings["triangle_count"] = time.time() - t0
 
     t0 = time.time()
-    degree_centrality(g).count()
+    _force(degree_centrality(g))
     timings["degree_centrality"] = time.time() - t0
     pages.unpersist()
     g.edges.unpersist()
@@ -132,7 +153,7 @@ def main() -> None:
         "events_hourly",
     ]:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        _force(qs[name](spark, sf_dir))
         timings[name] = time.time() - t0
 
     total = sum(timings.values())

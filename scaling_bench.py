@@ -89,21 +89,21 @@ def main() -> None:
     eff_weak = r_hi_weak["eps_per_iter"] / (factor * r_lo["eps_per_iter"])
 
     appendix = ""
-    if with_appendix:
+    if with_appendix and hi < 32:
         r32 = run(32, pages * factor, iters)
         appendix = f"""
-## Appendix: the 8 -> 32 pair on one box (why N=2/4N=8 is the primary pair)
+## Appendix: the {hi} -> 32 pair on one box (why N={lo}/{factor}N={hi} is the primary pair)
 
 | run | pages | edges | secs (best of 3) | edges/sec/iter |
 |---|---|---|---|---|
-| local[8]  | {r_hi_weak['pages']:,} | {r_hi_weak['edges']:,} | {r_hi_weak['secs']:.2f} | {r_hi_weak['eps_per_iter']:,.0f} |
+| local[{hi}]  | {r_hi_weak['pages']:,} | {r_hi_weak['edges']:,} | {r_hi_weak['secs']:.2f} | {r_hi_weak['eps_per_iter']:,.0f} |
 | local[32] | {r32['pages']:,} | {r32['edges']:,} | {r32['secs']:.2f} | {r32['eps_per_iter']:,.0f} |
 
 At 32 threads this single machine's memory bandwidth saturates (the
 inner loop is a hash join + sum over the edge table); local[32] gains
-{r32['eps_per_iter'] / r_hi_weak['eps_per_iter']:.2f}x over local[8] on the identical input. A real 4x
-*cluster* multiplies memory channels with cores, which the 2->8 pair
-emulates faithfully and the 8->32 pair cannot.
+{r32['eps_per_iter'] / r_hi_weak['eps_per_iter']:.2f}x over local[{hi}] on the identical input. A real
+{32 // hi}x *cluster* multiplies memory channels with cores, which the
+{lo}->{hi} pair emulates faithfully and the {hi}->32 pair cannot.
 """
 
     def row(tag, r):
@@ -127,20 +127,20 @@ excluded, one JVM per configuration, strictly sequential (the sandbox
 shows +-50% co-tenant wall-clock noise; min filters it).
 
 Cluster sizes emulated as parallelism levels: **N = local[{lo}]**,
-**4N = local[{hi}]** (see appendix for why not 8 -> 32 on one box).
+**{factor}N = local[{hi}]**.
 
 | run | pages | edges | iters | secs (best) | edges/sec/iter | extract pages/s |
 |---|---|---|---|---|---|---|
 {row(f'local[{lo}] (N,  P)', r_lo)}
-{row(f'local[{hi}] (4N, P)', r_hi_strong)}
-{row(f'local[{lo}] (N,  4P)', r_lo_big)}
-{row(f'local[{hi}] (4N, 4P)', r_hi_weak)}
+{row(f'local[{hi}] ({factor}N, P)', r_hi_strong)}
+{row(f'local[{lo}] (N,  {factor}P)', r_lo_big)}
+{row(f'local[{hi}] ({factor}N, {factor}P)', r_hi_weak)}
 
-* **Weak-scaling efficiency** (cluster-growth criterion: 4N executors,
-  4x crawl): eps(4N,4P) / (4 x eps(N,P)) = **{eff_weak:.2f}**
-* Strong-scaling efficiency at P: (eps(4N,P)/eps(N,P)) / 4 =
+* **Weak-scaling efficiency** (cluster-growth criterion: {factor}N executors,
+  {factor}x crawl): eps({factor}N,{factor}P) / ({factor} x eps(N,P)) = **{eff_weak:.2f}**
+* Strong-scaling efficiency at P: (eps({factor}N,P)/eps(N,P)) / {factor} =
   **{eff_strong:.2f}**
-* Strong-scaling efficiency at 4P: (eps(4N,4P)/eps(N,4P)) / 4 =
+* Strong-scaling efficiency at {factor}P: (eps({factor}N,{factor}P)/eps(N,{factor}P)) / {factor} =
   **{eff_strong_big:.2f}**
 * Result integrity: identical rank sums across parallelism levels
   ({r_lo['rank_sum']!r} vs {r_hi_strong['rank_sum']!r}, |diff| < 1e-9).
