@@ -38,8 +38,11 @@ _STYLE_RE = re.compile(r"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+# `href` must start an attribute: either immediately after `<a ` or
+# preceded by whitespace — a bare lazy [^>]*? would match the suffix of
+# data-href/xlink:href and extract the wrong URL.
 _HREF_RE = re.compile(
-    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE
+    r"""<a\s+(?:[^>]*?\s)?href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE
 )
 
 

@@ -256,7 +256,11 @@ class LinkGraph:
                 vertices.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst")),
                 "dst_name",
             )
-            .select("src", "dst")
+            .select(
+                "src",
+                "dst",
+                *[c for c in named_edges.columns if c not in ("src_name", "dst_name")],
+            )
         )
         return cls(edges, vertices, directed=directed, vids_non_negative=True)
 

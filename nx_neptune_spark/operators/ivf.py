@@ -47,7 +47,12 @@ def _normalize(vec: Column) -> Column:
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return F.transform(vec, lambda x: x.cast("double") / nrm)
+    # zero vectors: divide by 1 instead of 0 (non-ANSI / returns NULL,
+    # which would silently drop the row at the cid join and poison
+    # codebook training with NaN if sampled); mirrors the driver-side
+    # guard in _query_probe_cids
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return F.transform(vec, lambda x: x.cast("double") / safe)
 
 
 def _sq_l2_unit(unit_vec: Column, center: list[float]) -> Column:
@@ -102,6 +107,8 @@ def train_ivf(
         .collect()
     )
     X = np.array([list(r["nv"]) for r in sample], dtype=np.float64)
+    if X.size and X.shape[1] != dim:
+        raise ValueError(f"embedding dim {X.shape[1]} != declared dim {dim}")
     C = X[: int(n_centroids)].copy()  # seeds: first rows in hash order
     k = C.shape[0]
     for _ in range(iters):
@@ -185,9 +192,14 @@ def ivf_topk(
     ]
     probes = _query_probe_cids(qrows, centroids, nprobe)
     spark = corpus.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qid_type = queries.schema[query_id_col].dataType
     probe_df = spark.createDataFrame(
         [(qid, cid) for qid, cids in probes.items() for cid in cids],
-        "query_id long, cid int",
+        StructType(
+            [StructField("query_id", qid_type), StructField("cid", IntegerType())]
+        ),
     )
     qv_df = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

@@ -48,20 +48,28 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # probed ONCE at import -- a failed `from PIL import ...` per
+    # element would pay a full sys.path scan per row in the hot loop
+    from PIL import Image as _PIL_Image
+
+    HAS_PIL = True
+except ImportError:
+    _PIL_Image = None
+    HAS_PIL = False
+
+
 def _try_real_decode(buf: bytes):
     """Real decode path -- unavailable in this container (no PIL/cv2).
 
     STUB: raises NotImplementedError when an image library is absent;
     callers fall back to the deterministic fake decoder below.
     """
-    try:
-        from PIL import Image  # noqa: F401
-        import io
-
-        img = Image.open(io.BytesIO(buf))
-        return img.width, img.height, img.format or "UNKNOWN"
-    except ImportError:
+    if not HAS_PIL:
         raise NotImplementedError("image decode requires PIL (not in container)")
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(buf))
+    return img.width, img.height, img.format or "UNKNOWN"
 
 
 def _fake_dims(n_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

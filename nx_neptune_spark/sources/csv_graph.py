@@ -80,7 +80,11 @@ def graph_from_csv(spark: SparkSession, vertex_path: str, edge_path: str,
                    directed: bool = True) -> LinkGraph:
     """Full import path (reference A1 + session_manager.import_from_csv):
     CSV files -> typed DataFrames -> dense-id LinkGraph."""
-    edges_named = read_edge_csv(spark, edge_path).select("src_name", "dst_name")
+    edge_cols = read_edge_csv(spark, edge_path)
+    keep = ["src_name", "dst_name"] + (
+        ["weight"] if "weight" in edge_cols.columns else []
+    )
+    edges_named = edge_cols.select(*keep)
     g = LinkGraph.from_vertex_names(spark, edges_named, directed=directed)
     # attach labels of any isolated vertices present only in the vertex file
     v = read_vertex_csv(spark, vertex_path).select(F.col("name"))
@@ -100,9 +104,9 @@ def graph_from_csv(spark: SparkSession, vertex_path: str, edge_path: str,
                 vertices.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst")),
                 "dst_name",
             )
-            .select("src", "dst")
+            .select("src", "dst", *(["weight"] if "weight" in edges_named.columns else []))
         )
-        g = LinkGraph(edges, vertices, directed=directed)
+        g = LinkGraph(edges, vertices, directed=directed, vids_non_negative=True)
     return g
 
 
@@ -143,6 +147,13 @@ def export_graph_csv(
             F.col("~from"),
             F.col("~to"),
             F.lit(edge_label).alias("~label"),
+            # weighted graphs keep their weights across a roundtrip
+            # (typed header, reference A2/A10 header semantics)
+            *(
+                [F.col("weight").cast("double").alias("weight:Double")]
+                if "weight" in e.columns
+                else []
+            ),
         )
         .write.mode("overwrite")
         .option("header", True)

@@ -65,8 +65,22 @@ def create_table_as(
         try:
             df.writeTo(table).using("iceberg").createOrReplace()
             return "iceberg"
-        except Exception:
-            pass  # no iceberg runtime in this environment
+        except Exception as e:
+            # fall back ONLY when the Iceberg runtime itself is absent;
+            # a real write failure (permissions, commit conflict, bad
+            # partition spec) must not silently become a parquet table
+            msg = str(e).lower()
+            if not any(
+                marker in msg
+                for marker in (
+                    "iceberg",
+                    "data_source_not_found",
+                    "failed to find the data source",
+                    "not a valid spark sql data source",
+                    "catalog",
+                )
+            ):
+                raise
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     return "parquet"
 

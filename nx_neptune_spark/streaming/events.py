@@ -86,7 +86,10 @@ def sessionize(
             if start is None:
                 start, last, n = t, t, 1
             elif t - last <= gap_secs:
-                last, n = t, n + 1
+                # cross-batch out-of-order arrival can deliver t < last
+                # (no watermark bound here); the session end must never
+                # move backwards or later split decisions corrupt
+                start, last, n = min(start, t), max(last, t), n + 1
             else:
                 out.append((start, last, n))
                 start, last, n = t, t, 1
@@ -116,8 +119,13 @@ def streaming_edge_ingest(
     pages: DataFrame, watermark: str = "1 hour", ts_col: str = "warc_ts"
 ) -> DataFrame:
     """Incremental crawl ingestion: streaming page table -> extracted
-    named edges, deduplicated within the watermark horizon (exactly-once
-    edge emission per (src,dst) while state is retained)."""
+    named edges, deduplicated within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state for a
+    (src,dst) pair is EVICTED once the watermark passes it — a plain
+    ``dropDuplicates`` on keys excluding the event-time column keeps
+    every pair in the state store forever (unbounded state on a
+    continuous crawl)."""
     from ..functions.extraction import extract_links
 
     pages = pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -129,5 +137,5 @@ def streaming_edge_ingest(
             F.explode(extract_links(F.col("html"), F.col("url"))).alias("dst_name"),
         )
         .where(F.col("src_name") != F.col("dst_name"))
-        .dropDuplicates(["src_name", "dst_name"])
+        .dropDuplicatesWithinWatermark(["src_name", "dst_name"])
     )

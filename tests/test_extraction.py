@@ -156,3 +156,19 @@ def test_resolve_href_matches_urljoin_differential():
         assert _resolve_href(base, h) == urljoin(base, h), (base, h)
 
     check()
+
+
+def test_href_attribute_boundary():
+    """href must start an attribute: data-href / xlink:href must not
+    match, and the real href wins when both appear."""
+    from nx_neptune_spark.functions.extraction import _extract_links_one
+
+    base = "https://example.org/p"
+    assert _extract_links_one('<a data-href="/x" href="/y">', base) == [
+        "https://example.org/y"
+    ]
+    assert _extract_links_one('<a data-href="/x">', base) == []
+    assert _extract_links_one('<a xlink:href="/x">', base) == []
+    assert _extract_links_one("<a class='c' href='/w'>", base) == [
+        "https://example.org/w"
+    ]

@@ -114,3 +114,29 @@ def test_streaming_edge_ingest(spark, tmp_path):
 
     want = {(r["src_name"], r["dst_name"]) for r in pages_to_link_pairs(pages).collect()}
     assert got == want
+
+
+def test_csv_roundtrip_preserves_weights(spark, tmp_path):
+    """Weighted graphs keep their weights across export/import
+    (previously the weight column was silently dropped)."""
+    from nx_neptune_spark.graph import LinkGraph
+    from nx_neptune_spark.sources.csv_graph import export_graph_csv, graph_from_csv
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 2, 0.5)], "src long, dst long, weight double"
+    )
+    vertices = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "vid long, name string"
+    )
+    g = LinkGraph(edges, vertices, directed=True, vids_non_negative=True)
+    vp, ep = str(tmp_path / "v"), str(tmp_path / "e")
+    export_graph_csv(g, vp, ep)
+    g2 = graph_from_csv(spark, vp, ep)
+    assert "weight" in g2.edges.columns
+    name_of = {r["vid"]: r["name"] for r in g2.vertices.collect()}
+    got = {
+        (name_of[r["src"]], name_of[r["dst"]]): r["weight"]
+        for r in g2.edges.collect()
+    }
+    assert got == {("a", "b"): 2.5, ("b", "c"): 0.5}
