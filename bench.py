@@ -147,7 +147,6 @@ def main() -> None:
         "minhash_lsh",
         "simhash",
         "ann_topk",
-        "ann_topk_ivf",
         "token_stats",
         "lineitem_pricing",
         "events_hourly",
@@ -155,6 +154,26 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         timings[name] = time.time() - t0
+
+    # IVF is timed at the OPERATOR (train + assign + probe + re-rank),
+    # not via the contract query — that query also runs the brute-force
+    # twin to measure recall, which would charge the verifier's cost to
+    # the operator's number
+    from nx_neptune_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    ivf_queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # sqrt(N) codebook (standard IVF sizing); the centroid-literal plan
+    # grows with n_centroids x dim, so sizing to the corpus keeps the
+    # expression tree (and its one-time codegen) proportionate
+    n_cent = max(8, min(64, int(n_vecs ** 0.5)))
+    t0 = time.time()
+    _force(ivf_topk(emb, ivf_queries, dim, k=10, n_centroids=n_cent, nprobe=6))
+    timings["ann_topk_ivf"] = time.time() - t0
 
     total = sum(timings.values())
     out = {
