@@ -37,10 +37,6 @@ from pyspark.sql import functions as F
 from .ann import cosine
 
 
-def _lit_vec(v: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
-
-
 def _normalize(vec: Column) -> Column:
     """L2-normalize (materialize this ONCE per row behind a projection
     before computing centroid distances -- otherwise Catalyst re-embeds
@@ -56,33 +52,6 @@ def _normalize(vec: Column) -> Column:
     # guard in _query_probe_cids
     safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
     return F.transform(vec, lambda x: x.cast("double") / safe)
-
-
-def _nearest_cid(unit_vec: Column, centroids: list[list[float]]) -> Column:
-    """Index (0-based) of the nearest centroid to a UNIT vector:
-    ||u - c||^2 for unit u expands to 1 + ||c||^2 - 2<u,c>, computed
-    for ALL centroids by ONE zip_with lambda over a literal
-    array-of-arrays (plus a literal norm array). The lambda count —
-    and therefore analysis/codegen cost — is constant in n_centroids;
-    the per-centroid-expression formulation compiled k separate
-    higher-order functions and its one-time planning cost blew up
-    superlinearly with codebook size (measured 75s at k=44 on 2k rows
-    vs ~2s with this shape). Ties -> lowest cid via array_position."""
-    cents = F.array(*[_lit_vec(c) for c in centroids])
-    norms = F.array(*[F.lit(float(sum(x * x for x in c))) for c in centroids])
-    dists = F.zip_with(
-        cents,
-        norms,
-        lambda c, n2: F.lit(1.0)
-        + n2
-        - F.lit(2.0)
-        * F.aggregate(
-            F.zip_with(unit_vec, c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def train_ivf(
@@ -122,7 +91,7 @@ def train_ivf(
     for _ in range(iters):
         # ||x||^2 == 1 (unit vectors): argmin of 1 + ||c||^2 - 2<x,c>;
         # np.argmin takes the first minimum -> lowest cid on ties,
-        # matching _nearest_cid's array_position semantics
+        # matching ivf_assign's np.argmin tie semantics
         d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         cid = d.argmin(axis=1)
         for j in range(k):
