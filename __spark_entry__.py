@@ -49,6 +49,8 @@ CLOSENESS_N = 120
 NUM_HASHES = 12
 BANDS = 4
 SHINGLE_K = 3
+N_PAGES = 300
+PAGES_PR_ITERS = 10
 JACCARD_T = 0.2
 LSH_JACCARD_T = 0.35
 COS_T = 0.35
@@ -546,14 +548,16 @@ def q_top_users_by_value(spark, sf_dir):
 def q_pages_pagerank(spark, sf_dir):
     """Flagship north-rule pipeline: synthetic Common-Crawl-style pages
     -> pandas-UDF link extraction -> dense ids -> PageRank -> scores
-    joined back to urls. No SQL oracle (pandas-UDF extraction is not
-    SQL-expressible); rows-only check + dedicated pytest goldens."""
+    joined back to urls. Full DuckDB oracle (_pages_pagerank_sql):
+    the portable md5-seeded link structure (sources/pages.py
+    link_edges_sql) is regenerated in SQL and PageRank unrolled, so
+    the extraction itself is cross-checked per url."""
     from nx_neptune_spark.operators.pagerank import pagerank
     from nx_neptune_spark.sources.pages import generate_pages
 
-    pages = generate_pages(spark, 300)
+    pages = generate_pages(spark, N_PAGES)
     g = LinkGraph.from_pages(pages)
-    pr = pagerank(g, alpha=ALPHA, fixed_iterations=10)
+    pr = pagerank(g, alpha=ALPHA, fixed_iterations=PAGES_PR_ITERS)
     return (
         pr.join(g.vertices, "vid")
         .select(F.col("name").alias("url"), F.round("rank", 8).alias("rank"))
@@ -955,6 +959,48 @@ SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine FROM (
 """
 
 
+def _pages_pagerank_sql() -> str:
+    """Full north-rule pipeline oracle: regenerate generate_pages' exact
+    link structure in DuckDB (portable md5 seeds, pages.link_edges_sql)
+    and unroll 10 PageRank iterations with dangling-mass redistribution
+    (rank = a*(contrib + ds/n) + (1-a)/n, matching pagerank.py:242-248).
+    Verifies extract -> dense-id dictionary -> PageRank end-to-end:
+    any drift in extraction, id assignment, or rank arithmetic breaks
+    the per-url hash match."""
+    from nx_neptune_spark.sources.pages import link_edges_sql
+
+    parts = [
+        "WITH " + link_edges_sql(N_PAGES).strip().rstrip(",").rstrip(),
+        f""",
+outd AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+pr0 AS (SELECT pid AS vid, 1.0 / {N_PAGES} AS r FROM ids)""",
+    ]
+    for k in range(1, PAGES_PR_ITERS + 1):
+        parts.append(
+            f""",
+ds{k} AS (SELECT coalesce(sum(p.r), 0.0) AS ds FROM pr{k - 1} p
+          WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = p.vid)),
+pr{k} AS (
+  SELECT v.pid AS vid,
+         {ALPHA} * (coalesce(s.contrib, 0.0) + d.ds / {N_PAGES})
+           + {1 - ALPHA} / {N_PAGES} AS r
+  FROM ids v CROSS JOIN ds{k} d
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r / o.cnt) AS contrib
+    FROM pr{k - 1} p JOIN edges e ON e.src = p.vid JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = v.pid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 'https://example.org/page/' || CAST(vid AS VARCHAR) AS url,
+       round(r, 8) AS rank
+FROM pr{PAGES_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
 def _near_dup_sql() -> str:
     return f"""
 WITH {_EMB_CTES.strip()},
@@ -1067,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "pages_pagerank": _pages_pagerank_sql(),
         "top_users_by_value": (
             "SELECT user_id, total, n, rnk FROM ("
             " SELECT user_id,"

@@ -15,12 +15,25 @@ engine's skew handling exactly like a real web crawl would.
 FROM the text parts, and the pandas-UDF extractor
 (functions/extraction.py) must recover ``text`` byte-identically
 (north-rule per-row invariant).
+
+Hash split (deliberate): the LINK STRUCTURE (out-degree + target ids)
+is seeded with the portable md5-based :func:`~nx_neptune_spark.
+functions.hashing.hash60`, so a DuckDB oracle can regenerate the exact
+edge set and verify the full extract -> dictionary -> PageRank pipeline
+end-to-end (:func:`link_edges_sql` below IS that oracle CTE -- kept
+adjacent to the Spark recipe so the two cannot drift). The text/lang
+PAYLOAD stays on ``xxhash64`` (JVM-side, ~20x cheaper per word at
+10^12-row scale); its invariant -- extractor output byte-identical to
+the golden ``text`` column -- is verified Spark-side by
+tests/test_extraction.py and never needs a DuckDB twin.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
 
 VOCAB = [
     "web", "graph", "page", "rank", "link", "crawl", "index", "query",
@@ -32,9 +45,21 @@ MAX_OUT = 8
 HUB_FRACTION_MOD = 5  # every 5th link is squashed toward hub ids
 
 
+#: bound on the uniform draw for target selection; fits h**3 in a double
+TARGET_RES = 1_000_000
+
+
 def _word(seed: Column) -> Column:
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     return F.element_at(vocab, (F.pmod(F.xxhash64(seed), F.lit(len(VOCAB))) + 1).cast("int"))
+
+
+def _h60(prefix: str, *cols: Column) -> Column:
+    """Portable seed hash: hash60('<prefix>:' || c1 || ':' || c2 ...)."""
+    parts: list[Column] = [F.lit(prefix)]
+    for c in cols:
+        parts.append(c.cast("string"))
+    return hash60(F.concat_ws(":", *parts))
 
 
 def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
@@ -51,11 +76,13 @@ def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         ),
         " ",
     )
-    n_links = (F.pmod(F.xxhash64("pid", s + 2), F.lit(MAX_OUT)) + 1).cast("int")
-    # target id: mostly uniform, every HUB_FRACTION_MOD-th squashed quadratically
+    n_links = (F.pmod(_h60("nl", F.col("pid"), s), F.lit(MAX_OUT)) + 1).cast("int")
+    # target id: mostly uniform, every HUB_FRACTION_MOD-th squashed
+    # quadratically. Mirrored EXACTLY by link_edges_sql below (same md5
+    # seed strings, same left-assoc double arithmetic) -- edit both.
     def target(j: Column) -> Column:
-        h = F.pmod(F.xxhash64(F.col("pid") * 131 + j * 17, s + 3), F.lit(1000000))
-        u = h / F.lit(1000000.0)
+        h = F.pmod(_h60("tg", F.col("pid"), j, s), F.lit(TARGET_RES))
+        u = h / F.lit(float(TARGET_RES))
         uniform = F.floor(u * n).cast("long")
         hubbed = F.floor(u * u * u * n).cast("long")
         t = F.when(F.pmod(j, F.lit(HUB_FRACTION_MOD)) == 0, hubbed).otherwise(uniform)
@@ -112,3 +139,32 @@ def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         text.alias("text"),
         lang.alias("lang"),
     )
+
+
+def link_edges_sql(n: int, seed: int = 42) -> str:
+    """DuckDB CTE body regenerating generate_pages' exact edge set.
+
+    Produces ``ids(pid)`` and ``edges(src, dst)`` -- the same DISTINCT
+    self-link-free pairs that generate_pages -> extract_links ->
+    LinkGraph.from_pages yields. The md5 seed strings and the
+    left-associated double arithmetic mirror :func:`generate_pages`
+    line-for-line; IEEE-754 ops are bit-deterministic across engines,
+    so the edge sets are identical (oracle-verified per round).
+    """
+    h_nl = hash60_sql(f"concat_ws(':', 'nl', pid, {seed})")
+    h_tg = hash60_sql(f"concat_ws(':', 'tg', pid, j, {seed})")
+    return f"""
+ids AS (SELECT unnest(generate_series(0, {n - 1})) AS pid),
+nl AS (SELECT pid, ({h_nl} % {MAX_OUT}) + 1 AS k FROM ids),
+lnk AS (SELECT pid, unnest(generate_series(1, k)) AS j FROM nl),
+tg AS (SELECT pid, j, ({h_tg} % {TARGET_RES}) / {float(TARGET_RES)} AS u FROM lnk),
+tpick AS (
+  SELECT pid,
+         least(CAST(CASE WHEN j % {HUB_FRACTION_MOD} = 0
+                         THEN floor(u * u * u * {n})
+                         ELSE floor(u * {n}) END AS BIGINT),
+               {n - 1}) AS t
+  FROM tg
+),
+edges AS (SELECT DISTINCT pid AS src, t AS dst FROM tpick WHERE t <> pid)
+"""
