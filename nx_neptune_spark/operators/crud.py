@@ -129,8 +129,24 @@ def insert_edges(
     # MERGE semantics preserving extra edge columns (weight, properties,
     # ...): existing rows are kept verbatim; only genuinely-new (src,dst)
     # pairs are appended, with nulls for columns the insert doesn't set.
+    # On an undirected graph the stored row is canonical-but-arbitrary
+    # orientation, so (1) the incoming batch is canonicalized (least,
+    # greatest) -- also collapsing reverse duplicates within the batch --
+    # and (2) the anti-join checks BOTH orientations of existing rows;
+    # otherwise inserting (B,A) when (A,B) is stored would append a
+    # duplicate that symmetric_edges() then double-counts (same
+    # either-orientation semantics as update_edges/delete_edges).
+    existing = g.edges.select("src", "dst")
+    if not graph.directed:
+        new_edges = new_edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        existing = existing.unionByName(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     fresh = new_edges.dropDuplicates(["src", "dst"]).join(
-        g.edges.select("src", "dst"), ["src", "dst"], "left_anti"
+        existing, ["src", "dst"], "left_anti"
     )
     merged = g.edges.unionByName(fresh, allowMissingColumns=True)
     return LinkGraph(

@@ -202,3 +202,27 @@ def test_update_delete_edges_undirected_either_orientation(spark):
     assert props and props[0]["kind"] == "strong"
     g2 = delete_edges(g, [("B", "A")])
     assert g2.edges.count() == 0
+
+
+def test_insert_edges_undirected_reverse_is_noop(spark):
+    """ADVICE r2: on an undirected graph, inserting the REVERSE of an
+    existing edge must MERGE (no duplicate row -- symmetric_edges()
+    would double-count it in degree/pagerank/triangles); reverse
+    duplicates within one batch collapse to a single stored row."""
+    from nx_neptune_spark.graph import LinkGraph
+
+    base = LinkGraph(
+        spark.createDataFrame([], "src long, dst long"),
+        spark.createDataFrame([], "vid long, name string"),
+        directed=False,
+    )
+    g = insert_edges(base, [("A", "B")])
+    assert g.edges.count() == 1
+    # reverse of an existing edge: no-op
+    g2 = insert_edges(g, [("B", "A")])
+    assert g2.edges.count() == 1
+    assert g2.symmetric_edges().count() == 2
+    # both orientations in ONE batch: one stored row
+    g3 = insert_edges(g, [("C", "D"), ("D", "C")])
+    assert g3.edges.count() == 2
+    assert g3.symmetric_edges().count() == 4
