@@ -46,6 +46,7 @@ LPA_ITERS = 4
 BFS_MAX_DEPTH = 10
 CHAIN_STRIDE = 7
 CLOSENESS_N = 120
+LOUVAIN_BRIDGE_N = 60
 NUM_HASHES = 12
 BANDS = 4
 SHINGLE_K = 3
@@ -163,6 +164,36 @@ def q_louvain(spark, sf_dir):
 
     g = _clique_graph(spark, sf_dir)
     return louvain_communities(g, max_levels=3, max_iterations=8)
+
+
+def q_louvain_bridged(spark, sf_dir):
+    """Louvain on BRIDGED cliques (reference fixture shape,
+    integ_test/graph_operations/test_algo_louvain.py:26-39): 12 chained
+    5-cliques on doc_id < 60. Unlike the disjoint-clique oracle this
+    catches wrong-but-stable merges: the per-clique partition is still
+    the provable optimum (pair-merging only wins past the resolution
+    limit, K > 22 cliques for single-bridge chains of 5-cliques), but a
+    buggy gain computation that over-merges across bridges would break
+    the closed-form oracle."""
+    from nx_neptune_spark.operators.louvain import louvain_communities
+
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < LOUVAIN_BRIDGE_N)
+    g = ids.select("i", (F.col("i") - F.col("i") % 5).alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    clique = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")))
+        .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    )
+    bridges = ids.where(F.col("i") % 5 == 0).where(
+        F.col("i") + 5 < LOUVAIN_BRIDGE_N
+    ).select(F.col("i").alias("src"), (F.col("i") + 5).alias("dst"))
+    lg = LinkGraph(
+        clique.unionByName(bridges),
+        ids.select(F.col("i").alias("vid")),
+        directed=False,
+    )
+    return louvain_communities(lg, max_levels=3, max_iterations=8)
 
 
 def q_triangle_count(spark, sf_dir):
@@ -575,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "louvain_bridged": q_louvain_bridged,
         "triangle_count": q_triangle_count,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -1023,6 +1055,10 @@ def oracle_sql() -> dict[str, str]:
         "louvain": (
             "SELECT doc_id AS vid, CAST(doc_id - doc_id % 5 AS BIGINT) AS community"
             " FROM documents"
+        ),
+        "louvain_bridged": (
+            "SELECT doc_id AS vid, CAST(doc_id - doc_id % 5 AS BIGINT) AS community"
+            f" FROM documents WHERE doc_id < {LOUVAIN_BRIDGE_N}"
         ),
         "triangle_count": _triangles_sql(),
         "degree_centrality": _degree_sql(),

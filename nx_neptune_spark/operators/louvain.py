@@ -28,7 +28,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
+
+
+def _level_state(mapping: DataFrame, edges: DataFrame) -> DataFrame:
+    """Tagged union of the two per-level state frames for durable
+    checkpointing: ('m', vid, node, null) + ('e', src, dst, w)."""
+    m = mapping.select(
+        F.lit("m").alias("kind"),
+        F.col("vid").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    e = edges.select(
+        F.lit("e").alias("kind"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("w"),
+    )
+    return m.unionByName(e)
+
+
+def _split_level_state(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    mapping = state.where(F.col("kind") == "m").select(
+        F.col("a").alias("vid"), F.col("b").alias("node")
+    )
+    edges = state.where(F.col("kind") == "e").select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    )
+    return mapping, edges
 
 
 def louvain_communities(
@@ -52,9 +80,22 @@ def louvain_communities(
     between two levels falls below it. Both default to 0.0 = off
     (structural convergence only), matching warn-free acceptance of the
     reference's parameter surface.
+
+    Durable checkpoint/resume (reference snapshot analog,
+    instance_management.py:460-517) at LEVEL granularity: after each
+    completed level the (mapping, contracted-edges) pair is written as
+    one tagged-union state frame with the level number and running
+    modularity in the manifest; a killed run resumes at the next level.
+    Convergence (not budget exhaustion) finalizes the run with the
+    final (vid, community) frame, which a resumed call returns
+    directly. ``max_levels`` exhaustion deliberately does NOT finalize
+    — like pagerank's fixed_iterations, running out of budget is the
+    resume scenario, so the manifest stays incomplete and a follow-up
+    call with a larger budget continues mid-run.
     """
     spark = graph.spark
     cp = checkpoint or CheckpointManager(spark, algorithm="louvain")
+    durable = cp.checkpoint_dir is not None
     base = graph.symmetric_edges()
     if weight is not None and weight in base.columns:
         edges = base.select("src", "dst", F.col(weight).cast("double").alias("w"))
@@ -67,7 +108,22 @@ def louvain_communities(
     mapping = cp.truncate(mapping)
 
     prev_q: float | None = None
-    for _level in range(max_levels):
+    start_level = 0
+    if durable:
+        resumed = cp.resume()
+        if resumed is not None:
+            state, manifest = resumed
+            if manifest.get("complete"):
+                # finalize() stores the final (vid, community) result
+                return state.select("vid", "community")
+            mapping, edges = _split_level_state(state)
+            start_level = int(manifest["metrics"]["iteration"]) + 1
+            pq = manifest["metrics"].get("prev_q")
+            prev_q = float(pq) if pq is not None else None
+
+    converged = False
+    completed = start_level  # levels durably checkpointed so far
+    for _level in range(start_level, max_levels):
         edges = cp.truncate(edges)
         comm = _local_moving(edges, cp, max_iterations, iteration_tolerance)
         if level_tolerance > 0.0:
@@ -77,6 +133,7 @@ def louvain_communities(
             )
             q = _modularity(edges, comm, deg, float(two_m))
             if prev_q is not None and q - prev_q < level_tolerance:
+                converged = True
                 break
             prev_q = q
         # did anything merge?
@@ -90,6 +147,7 @@ def louvain_communities(
             .select("vid", F.coalesce("c", F.col("node")).alias("node"))
         )
         if n_comms >= n_nodes:
+            converged = True
             break
         # contract: communities become super-nodes; intra-community mass
         # becomes a self-loop (2x internal weight in the symmetric
@@ -102,11 +160,26 @@ def louvain_communities(
             .agg(F.sum("w").alias("w"))
         )
         if edges.where(F.col("src") != F.col("dst")).isEmpty():
+            converged = True
             break
+        if durable:
+            state = cp.checkpoint(
+                _level_state(mapping, edges),
+                IterationMetrics(iteration=_level, extra={"prev_q": prev_q}),
+            )
+            mapping, edges = _split_level_state(state)
+            completed = _level + 1
 
     # canonical community id = min original vid in community
     rep = mapping.groupBy("node").agg(F.min("vid").alias("community"))
-    return mapping.join(rep, "node").select("vid", "community")
+    result = mapping.join(rep, "node").select("vid", "community")
+    if durable and converged:
+        # `completed` never carries a level-union manifest (breaks fire
+        # before that level's end-of-body checkpoint), so finalize gets
+        # a fresh iter dir and stores the final result frame there
+        result = cp.truncate(result)
+        cp.finalize(completed, IterationMetrics(iteration=completed), state=result)
+    return result
 
 
 def _modularity(

@@ -189,3 +189,51 @@ def test_resume_skips_corrupt_lineage(spark, tmp_path):
     m = cp2.latest_manifest()
     assert m is not None
     assert m["metrics"]["iteration"] == int(iters[-2].split("_")[1])
+
+
+def test_louvain_resume_mid_run_identical(spark, tmp_path):
+    """Kill Louvain at a level boundary (max_levels budget exhausted ->
+    manifest left incomplete), resume with full budget, assert the
+    final communities are identical to an uninterrupted run; the
+    converged run's complete manifest short-circuits a re-call."""
+    import networkx as nx
+
+    from nx_neptune_spark.operators.louvain import louvain_communities
+
+    g = nx.Graph()
+    for b in range(0, 30, 5):  # 6 disjoint 5-cliques
+        for i in range(b, b + 5):
+            for j in range(i + 1, b + 5):
+                g.add_edge(i, j)
+    # bridges chain the cliques so >1 level of contraction happens
+    for b in range(0, 25, 5):
+        g.add_edge(b, b + 5)
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+    ckdir = str(tmp_path / "ck_louvain")
+
+    def comms(df):
+        return {names[r["vid"]]: r["community"] for r in df.collect()}
+
+    cp_full = CheckpointManager(spark, ckdir, run_id="full", algorithm="louvain")
+    full = comms(louvain_communities(lg, checkpoint=cp_full))
+    assert cp_full.latest_manifest()["complete"] is True
+
+    # interrupted: one level of budget only -> incomplete manifest
+    cp_a = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="louvain")
+    louvain_communities(lg, max_levels=1, checkpoint=cp_a)
+    m = cp_a.latest_manifest()
+    assert m is not None and not m.get("complete")
+    assert m["metrics"]["iteration"] == 0
+    assert m["partition_lineage"]
+
+    # resume continues from level 1 and must land on the same result
+    cp_b = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="louvain")
+    resumed = comms(louvain_communities(lg, checkpoint=cp_b))
+    assert resumed == full
+    assert cp_b.latest_manifest()["complete"] is True
+
+    # a converged run re-called on the same dir returns the stored final
+    cp_c = CheckpointManager(spark, ckdir, run_id="resumable", algorithm="louvain")
+    again = comms(louvain_communities(lg, checkpoint=cp_c))
+    assert again == full
