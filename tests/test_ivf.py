@@ -79,3 +79,63 @@ def test_ivf_codebook_deterministic_and_reusable(spark, emb):
     a = {(r["query_id"], r["vec_id"], r["rank"]) for r in r1.collect()}
     b = {(r["query_id"], r["vec_id"], r["rank"]) for r in r2.collect()}
     assert a == b
+
+
+def test_ivf_handles_null_and_ragged_rows(spark):
+    """ADVICE r2: a NULL or wrong-length embedding must yield a NULL cid
+    (dropped from candidate joins), not fail the whole job; a malformed
+    QUERY row yields no probe rows but other queries still answer."""
+    from nx_neptune_spark.operators.ivf import (
+        ivf_assign,
+        ivf_probe_assign,
+        ivf_topk,
+        train_ivf,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    rows += [(100, None), (101, [1.0, 2.0])]  # null + ragged
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf(corpus, dim=3, n_centroids=4, iters=3)
+    inv = {r["vec_id"]: r["cid"] for r in ivf_assign(corpus, cents).collect()}
+    assert inv[100] is None and inv[101] is None
+    assert all(inv[i] is not None for i in range(40))
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0]), (1, None), (2, [9.0])],
+        "query_id long, embedding array<double>",
+    )
+    probes = ivf_probe_assign(queries, cents, nprobe=2).collect()
+    qids = {r["query_id"] for r in probes}
+    assert qids == {0}  # malformed queries contribute no probe rows
+    assert len(probes) == 2
+    out = ivf_topk(corpus, queries, dim=3, k=3, n_centroids=4, nprobe=4)
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0}
+    assert len(got) == 3
+
+
+def test_ivf_probe_assign_is_distributed(spark):
+    """The probe path must not collect the query set: same results for
+    a repartitioned (multi-partition) query DataFrame, plan contains
+    the Arrow eval, and no ivf code path calls queries.collect()."""
+    import inspect
+
+    import nx_neptune_spark.operators.ivf as ivfmod
+    from nx_neptune_spark.operators.ivf import ivf_probe_assign, train_ivf
+
+    src = inspect.getsource(ivfmod.ivf_topk)
+    assert "collect()" not in src
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf(corpus, dim=3, n_centroids=4, iters=3)
+    q1 = corpus.withColumnRenamed("vec_id", "query_id")
+    got1 = sorted(
+        (r["query_id"], r["cid"]) for r in ivf_probe_assign(q1, cents, 2).collect()
+    )
+    got2 = sorted(
+        (r["query_id"], r["cid"])
+        for r in ivf_probe_assign(q1.repartition(7), cents, 2).collect()
+    )
+    assert got1 == got2 and len(got1) == 120
+    plan = ivf_probe_assign(q1, cents, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
