@@ -335,9 +335,11 @@ def q_near_dup_clusters(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """bits=16 pinned explicitly: fixture parity with the small-width
+    oracle (the engine default is the web-scale 60)."""
     from nx_neptune_spark.operators.dedup import simhash_fingerprints
 
-    return simhash_fingerprints(_docs(spark, sf_dir)).select(
+    return simhash_fingerprints(_docs(spark, sf_dir), bits=16).select(
         F.col("id").alias("doc_id"), "simhash"
     )
 
@@ -345,7 +347,30 @@ def q_simhash(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     """Exact-by-pigeonhole SimHash near-dup pairs (hamming <= 3); the
     oracle brute-forces all pairs, so this pins the operator's
-    candidate generation to EXACT recall."""
+    candidate generation to EXACT recall (bits=16 fixture width)."""
+    from nx_neptune_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), bits=16).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_simhash60(spark, sf_dir):
+    """Full-width (60-bit, the engine default and hard cap -- hash60
+    has 60 usable bits; 64 would overflow LongType) fingerprints."""
+    from nx_neptune_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_simhash60_pairs(spark, sf_dir):
+    """Pigeonhole exactness at the DEFAULT width: 15-bit part keys.
+    Oracle brute-forces all pairs over the 60-bit fingerprints, so
+    bucket-candidate recall is pinned exact at web-scale settings too
+    (exactness-audit rule: every exact-recall claim gets a brute-force
+    differential at each supported width)."""
     from nx_neptune_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir)).select(
@@ -624,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash60": q_simhash60,
+        "simhash60_pairs": q_simhash60_pairs,
         "token_stats": q_token_stats,
         "quality_language": q_quality_language,
         "doc_fingerprints": q_doc_fingerprints,
@@ -901,11 +928,11 @@ FROM comp JOIN sizes USING (cluster_id)
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = 16) -> str:
     bit_sums = ",\n    ".join(
-        f"sum(freq * (((h >> {i}) & 1) * 2 - 1)) AS s{i}" for i in range(16)
+        f"sum(freq * (((h >> {i}) & 1) * 2 - 1)) AS s{i}" for i in range(bits)
     )
-    combine = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    combine = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
     return f"""
 WITH
 tk AS (SELECT doc_id AS id,
@@ -1088,6 +1115,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_pairs": (
             "WITH sh AS (" + _simhash_sql().strip().rstrip() + ") "
+            "SELECT l.doc_id AS a, r.doc_id AS b, "
+            "CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming "
+            "FROM sh l JOIN sh r ON l.doc_id < r.doc_id "
+            "WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"
+        ),
+        "simhash60": _simhash_sql(60),
+        "simhash60_pairs": (
+            "WITH sh AS (" + _simhash_sql(60).strip().rstrip() + ") "
             "SELECT l.doc_id AS a, r.doc_id AS b, "
             "CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming "
             "FROM sh l JOIN sh r ON l.doc_id < r.doc_id "

@@ -303,14 +303,26 @@ def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
 ) -> DataFrame:
     """(id, simhash long): token-frequency-weighted SimHash.
 
     bit_i(simhash) = sign of sum over tokens( freq * (2*bit_i(h)-1) ),
     with the portable 60-bit token hash. One explode + one aggregate.
     Ties (sum == 0) resolve to bit 0 for determinism.
+
+    ``bits`` is capped at 60: hash60 supplies exactly 60 usable bits,
+    and any wider fingerprint would need 1 << 63 (LongType overflow)
+    and put the sign bit in play, breaking the %-based part keys in
+    simhash_pairs (Spark % keeps the dividend's sign). The default IS
+    the web-scale setting; contract queries pin bits=16 explicitly for
+    DuckDB-oracle fixture parity.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits} unsupported: hash60 supplies 60 usable bits "
+            "(64 would overflow LongType and break sign-sensitive part keys)"
+        )
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
@@ -344,7 +356,7 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash, EXACT for hamming <= max_hamming:
@@ -355,9 +367,11 @@ def simhash_pairs(
     filter via bit_count(xor). Output (a, b, hamming).
 
     Scale note: part keys are bits/(max_hamming+1) wide, so bucket
-    selectivity grows with fingerprint width — at web scale use
-    bits=64 (16-bit part keys) rather than the 16-bit default that the
-    DuckDB oracle parity uses (4-bit keys -> corpus/16 per bucket)."""
+    selectivity grows with fingerprint width — the bits=60 default
+    (15-bit part keys) is the web-scale setting; bits=16 (4-bit keys,
+    corpus/16 per bucket) exists only for DuckDB-oracle fixture parity
+    and must be passed explicitly. 60 is the hard cap (see
+    simhash_fingerprints)."""
     fp = simhash_fingerprints(docs, id_col, text_col, bits)
     n_parts = max_hamming + 1
     base_w = bits // n_parts

@@ -220,12 +220,23 @@ def test_short_and_empty_docs_shingle_spec(spark):
 
 
 def test_simhash(spark, docs):
+    import pytest
+
     fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fps[0] == fps[2]  # exact dups
     assert fps[3] == fps[4]  # permutation-invariant (freq-weighted tokens)
-    assert all(0 <= v < (1 << 16) for v in fps.values())
+    assert all(0 <= v < (1 << 60) for v in fps.values())  # default width 60
+    fps16 = {
+        r["id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, bits=16).collect()
+    }
+    assert all(0 <= v < (1 << 16) for v in fps16.values())
     pairs = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
     assert (0, 2) in pairs and (3, 4) in pairs
+    # ADVICE r2: widths past hash60's 60 usable bits must be rejected
+    # (1 << 63 overflows LongType; sign would break %-based part keys)
+    with pytest.raises(ValueError):
+        simhash_fingerprints(docs, bits=64).collect()
 
 
 def test_brute_force_topk_vs_numpy(spark, emb):
