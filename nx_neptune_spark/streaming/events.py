@@ -55,13 +55,29 @@ def sessionize(
     gap_secs: int = 1800,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator: gap-based sessionization via
     ``applyInPandasWithState`` (the Structured Streaming escape hatch for
     semantics windows can't express). Per key, events are folded into
     sessions; a session closes when the next event is more than
     ``gap_secs`` later, and closed sessions are emitted immediately.
-    The trailing open session stays in state across micro-batches.
+
+    Bounded state (VERDICT r2): with ``watermark`` set (the default),
+    the operator runs under EventTimeTimeout — each key's timeout is
+    armed at ``session_end + gap_secs``, so once the watermark passes
+    the gap horizon the trailing open session is FLUSHED (emitted) and
+    its state evicted. Without this, one open session per distinct key
+    lives forever on a continuous stream. ``watermark=None`` keeps the
+    legacy unbounded behavior for bounded/replay inputs.
+
+    Cross-batch out-of-order events (ADVICE r2): a late event merges
+    into the open session only if it lands within ``gap_secs`` of the
+    session INTERVAL; an event older than ``session_start - gap_secs``
+    forms its own (immediately closed) session instead of dragging
+    ``session_start`` arbitrarily far back. Implemented as an interval
+    merge: batch events fold into sessions, the open state session is
+    merged in by the same gap rule, all but the latest session close.
 
     State is (start, last, n) epoch-second longs; processing within a
     batch sorts the group's events by time, so output is deterministic
@@ -70,48 +86,82 @@ def sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def _frame(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+                "session_start": pd.to_datetime([s for s, _, _ in sessions], unit="s"),
+                "session_end": pd.to_datetime([e for _, e, _ in sessions], unit="s"),
+                "n_events": pd.Series([c for _, _, c in sessions], dtype="int64"),
+            }
+        )
+
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed session_end + gap: the open session can
+            # never grow again -- flush it and evict the key's state
+            start, last, n = state.get
+            state.remove()
+            yield _frame(user_id, [(start, last, n)])
+            return
         rows = []
         for pdf in pdf_iter:
             ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
             rows.extend(int(t) for t in ts)
         rows.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-        out = []
+        sess: list[tuple] = []
+        s = e = c = None
         for t in rows:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last <= gap_secs:
-                # cross-batch out-of-order arrival can deliver t < last
-                # (no watermark bound here); the session end must never
-                # move backwards or later split decisions corrupt
-                start, last, n = min(start, t), max(last, t), n + 1
+            if s is None:
+                s = e = t
+                c = 1
+            elif t - e <= gap_secs:
+                e, c = t, c + 1
             else:
-                out.append((start, last, n))
-                start, last, n = t, t, 1
-        if start is not None:
-            state.update((start, last, n))
-        if out:
-            yield pd.DataFrame(
-                {
-                    "user_id": pd.Series([user_id] * len(out), dtype="int64"),
-                    "session_start": pd.to_datetime([s for s, _, _ in out], unit="s"),
-                    "session_end": pd.to_datetime([e for _, e, _ in out], unit="s"),
-                    "n_events": pd.Series([c for _, _, c in out], dtype="int64"),
-                }
+                sess.append((s, e, c))
+                s = e = t
+                c = 1
+        if s is not None:
+            sess.append((s, e, c))
+        if state.exists:
+            sess.append(tuple(state.get))
+            sess.sort()
+            merged = [sess[0]]
+            for s2, e2, c2 in sess[1:]:
+                s1, e1, c1 = merged[-1]
+                if s2 - e1 <= gap_secs:
+                    merged[-1] = (min(s1, s2), max(e1, e2), c1 + c2)
+                else:
+                    merged.append((s2, e2, c2))
+            sess = merged
+        if not sess:
+            return
+        closed, open_sess = sess[:-1], sess[-1]
+        state.update(open_sess)
+        if watermark is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    (open_sess[1] + gap_secs) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
+        if closed:
+            yield _frame(user_id, closed)
 
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -34,7 +34,7 @@ def test_sessionize_matches_oracle(spark, tmp_path):
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     q = (
-        sessionize(stream, gap_secs=900)
+        sessionize(stream, gap_secs=900, watermark=None)  # legacy unbounded path
         .writeStream.format("memory")
         .queryName("sessions")
         .outputMode("append")
@@ -57,3 +57,103 @@ def test_sessionize_matches_oracle(spark, tmp_path):
     want = py_sessions(by_user, 900)
     assert got == want
     assert len(got) > 0
+
+
+def _epoch_ts(e):
+    return pd.Timestamp(e, unit="s")
+
+
+def _write_parquet(path, rows, mtime):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([_epoch_ts(e) for _, e in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_sessionize_timeout_flushes_open_sessions(spark, tmp_path):
+    """VERDICT r2: with the default watermark, state is BOUNDED -- once
+    the watermark passes session_end + gap, the trailing open session is
+    emitted and the key's state evicted (no one-open-session-per-key-
+    forever). Keys still within the gap horizon stay open/unemitted."""
+    import os
+
+    src = str(tmp_path / "ev_flush")
+    os.makedirs(src)
+    _write_parquet(
+        f"{src}/a.parquet",
+        [(1, 1000), (1, 1100), (2, 50000), (3, 200000)],
+        mtime=1_000_000,
+    )
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize(stream, gap_secs=900, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_flush")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in spark.sql("select * from sessions_flush").collect()
+    )
+    # watermark settles at 200000 - 7200 = 192800: users 1 and 2 are
+    # past their gap horizon -> flushed; user 3 is not -> still open
+    assert got == [(1, 1000, 1100, 2), (2, 50000, 50000, 1)]
+
+
+def test_sessionize_late_event_does_not_drag_session_start(spark, tmp_path):
+    """ADVICE r2: a cross-batch late event older than session_start -
+    gap must form its own (closed) session, not merge into the open
+    session and drag session_start back beyond the gap bound."""
+    import os
+
+    src = str(tmp_path / "ev_late")
+    os.makedirs(src)
+    _write_parquet(f"{src}/a.parquet", [(9, 100000), (9, 100100)], mtime=1_000_000)
+    # batch 2: one in-watermark-but-ancient event + one fresh event
+    _write_parquet(
+        f"{src}/b.parquet", [(9, 95000), (9, 100200)], mtime=1_000_100
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)  # force a's batch before b's
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_secs=900, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in spark.sql("select * from sessions_late").collect()
+    )
+    # the late 95000 event is its own closed 1-event session; no
+    # emitted session may span from 95000 into the 100000+ interval
+    assert (9, 95000, 95000, 1) in got
+    assert all(not (s <= 95000 and e >= 100000) for _, s, e, _ in got)
