@@ -52,6 +52,7 @@ BANDS = 4
 SHINGLE_K = 3
 N_PAGES = 300
 PAGES_PR_ITERS = 10
+PR_VARIANT_ITERS = 5  # weighted/personalized/nstart/dangling contract depth
 JACCARD_T = 0.2
 LSH_JACCARD_T = 0.35
 COS_T = 0.35
@@ -138,6 +139,73 @@ def q_pagerank_web(spark, sf_dir):
 
     g = _pr_graph(spark, sf_dir)
     pr = pagerank(g, alpha=ALPHA, fixed_iterations=PR_ITERS)
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank (reference edgeWeightProperty,
+    pagerank.py:136-142): deterministic weights (src+dst)%5+1, shares
+    w/out_w(src); unrolled weighted SQL oracle."""
+    from nx_neptune_spark.operators.pagerank import pagerank
+
+    g = _pr_graph(spark, sf_dir)
+    we = g.edges.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    lg = LinkGraph(we, g.vertices, directed=True)
+    pr = pagerank(lg, alpha=ALPHA, fixed_iterations=PR_VARIANT_ITERS, weight="weight")
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (reference sourceNodes/sourceWeights,
+    pagerank.py:144-162): teleport mass 3:1 onto vids 0 and 7
+    (normalized to the exact doubles 0.75/0.25), zero elsewhere."""
+    from nx_neptune_spark.operators.pagerank import pagerank
+
+    g = _pr_graph(spark, sf_dir)
+    pr = pagerank(
+        g,
+        alpha=ALPHA,
+        fixed_iterations=PR_VARIANT_ITERS,
+        personalization={0: 3.0, 7: 1.0},
+    )
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank_nstart(spark, sf_dir):
+    """Non-uniform start vector (NetworkX nstart; the reference warns-
+    and-ignores it, pagerank.py:164-170 -- we follow NX since NX is the
+    correctness oracle): x0 proportional to vid%3+1."""
+    from nx_neptune_spark.operators.pagerank import pagerank
+
+    g = _pr_graph(spark, sf_dir)
+    n = g.num_vertices()
+    pr = pagerank(
+        g,
+        alpha=ALPHA,
+        fixed_iterations=PR_VARIANT_ITERS,
+        nstart={i: float(i % 3 + 1) for i in range(n)},
+    )
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank_dangling(spark, sf_dir):
+    """Dangling-mass redistribution: only even vids emit an edge, so
+    ~half the graph is dangling every iteration and the sentinel-edge
+    danglesum path (pagerank.py:190-250) is exercised against an
+    unrolled oracle carrying the ds/n term -- the uniform-default
+    analog of NetworkX's dangling dict."""
+    from nx_neptune_spark.operators.pagerank import pagerank
+
+    ids, n = _ids_n(spark, sf_dir)
+    edges = (
+        ids.where(F.col("i") % 2 == 0)
+        .select(F.col("i").alias("src"), ((F.col("i") * 3 + 1) % n).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    lg = LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+    pr = pagerank(lg, alpha=ALPHA, fixed_iterations=PR_VARIANT_ITERS)
     return pr.select("vid", F.round("rank", 8).alias("rank"))
 
 
@@ -628,6 +696,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": q_pagerank_web,
+        "pagerank_weighted": q_pagerank_weighted,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_nstart": q_pagerank_nstart,
+        "pagerank_dangling": q_pagerank_dangling,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
@@ -716,6 +788,75 @@ pr{k} AS (
         )
     parts.append(f"\nSELECT vid, round(r, 8) AS rank FROM pr{PR_ITERS}")
     return "".join(parts)
+
+
+def _pagerank_sql_ext(
+    iters: int,
+    weighted: bool = False,
+    p_expr: str = "1.0 / n.c",
+    x0_expr: str = "1.0 / n.c",
+    dangling: bool = False,
+    edges_body: str | None = None,
+    edges_table: str = "edges",
+) -> str:
+    """Generalized unrolled-PageRank oracle (pagerank.py:242-248 update
+    rule): per-edge share = w / out_w(src), teleport vector ``p_expr``,
+    start vector ``x0_expr`` (both may reference v.i / i and n.c), and
+    optional dangling-mass redistribution by the teleport vector.
+    ``edges_body`` overrides the default _GRAPH_CTES edge table with a
+    CTE body defining ``edges_table``(src, dst[, w])."""
+    ctes = (edges_body or _GRAPH_CTES).strip().rstrip(",").rstrip()
+    et = edges_table
+    w = "e.w" if weighted else "1.0"
+    ow_w = "w" if weighted else "1.0"
+    parts = [
+        "WITH " + ctes,
+        f""",
+outw AS (SELECT src, sum({ow_w}) AS ow FROM {et} GROUP BY src),
+pr0 AS (SELECT i AS vid, {x0_expr} AS r FROM ids v CROSS JOIN n)""",
+    ]
+    ds = (
+        "(SELECT coalesce(sum(p.r), 0.0) AS ds FROM pr{prev} p"
+        " WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = p.vid))"
+    )
+    for k in range(1, iters + 1):
+        dangle_cte = f",\nds{k} AS {ds.format(prev=k - 1)}" if dangling else ""
+        dangle_join = f" CROSS JOIN ds{k} d" if dangling else ""
+        mass = "coalesce(s.contrib, 0.0)" + (
+            f" + d.ds * ({p_expr})" if dangling else ""
+        )
+        parts.append(
+            f"""{dangle_cte},
+pr{k} AS (
+  SELECT v.i AS vid, {ALPHA} * ({mass}) + {1 - ALPHA} * ({p_expr}) AS r
+  FROM ids v CROSS JOIN n{dangle_join}
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r * ({w} / o.ow)) AS contrib
+    FROM pr{k - 1} p JOIN {et} e ON e.src = p.vid JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = v.i
+)"""
+        )
+    parts.append(f"\nSELECT vid, round(r, 8) AS rank FROM pr{iters}")
+    return "".join(parts)
+
+
+_WEIGHTED_GRAPH_CTES = (
+    _GRAPH_CTES
+    + """,
+wedges AS (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM edges)
+"""
+)
+
+# dangling graph: only even ids emit one edge -> odd ids are dangling
+_DANGLING_GRAPH_CTES = """
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+edges AS (
+  SELECT i AS src, (i * 3 + 1) % c AS dst FROM ids, n
+  WHERE i % 2 = 0 AND (i * 3 + 1) % c <> i
+)
+"""
 
 
 def _cc_sql() -> str:
@@ -1077,6 +1218,26 @@ WHERE dp / (na.nv * nb.nv) >= {COS_T}
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_web": _pagerank_sql(),
+        "pagerank_weighted": _pagerank_sql_ext(
+            PR_VARIANT_ITERS,
+            weighted=True,
+            edges_body=_WEIGHTED_GRAPH_CTES,
+            edges_table="wedges",
+        ),
+        "pagerank_personalized": _pagerank_sql_ext(
+            PR_VARIANT_ITERS,
+            p_expr="CASE WHEN v.i = 0 THEN 0.75 WHEN v.i = 7 THEN 0.25 ELSE 0.0 END",
+        ),
+        "pagerank_nstart": _pagerank_sql_ext(
+            PR_VARIANT_ITERS,
+            x0_expr=(
+                "CAST(v.i % 3 + 1 AS DOUBLE) /"
+                " (SELECT CAST(sum(i % 3 + 1) AS DOUBLE) FROM ids)"
+            ),
+        ),
+        "pagerank_dangling": _pagerank_sql_ext(
+            PR_VARIANT_ITERS, dangling=True, edges_body=_DANGLING_GRAPH_CTES
+        ),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "louvain": (
