@@ -29,6 +29,13 @@ from ..plans.checkpoint import CheckpointManager
 
 MAX_INT64 = 9223372036854775807  # reference "exact" sentinel
 
+#: exact mode is O(V*E); past this vertex count it is almost certainly
+#: a mistake at cluster scale, so the engine warns loudly (mirroring
+#: the LinkGraph.max_adapter_rows guard pattern, graph.py:332-348 --
+#: a warning rather than a raise because exact mode IS the reference's
+#: documented default semantics, closeness.py:104-109)
+EXACT_MODE_WARN_VERTICES = 100_000
+
 
 def closeness_centrality(
     graph: LinkGraph,
@@ -57,6 +64,18 @@ def closeness_centrality(
     else:
         edges = graph.symmetric_edges().select("src", "dst")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if sources is None and num_sources >= n > EXACT_MODE_WARN_VERTICES:
+        import warnings
+
+        warnings.warn(
+            f"closeness_centrality exact mode on {n:,} vertices is "
+            "O(V*E) (one BFS per vertex); pass num_sources (sampled "
+            "approximation, reference semantics) or sources=[...] at "
+            "this scale",
+            ResourceWarning,
+            stacklevel=2,
+        )
 
     explicit_sources = sources is not None
     if explicit_sources:

@@ -54,6 +54,43 @@ def create_csv_table(
     )
 
 
+def _is_missing_datasource_error(e: Exception) -> bool:
+    """True iff the exception says the 'iceberg' DataSource/runtime jar
+    is not on the classpath: JVM SparkClassNotFoundException with
+    error-class DATA_SOURCE_NOT_FOUND (or a bare ClassNotFoundException
+    for the runtime jar), or a pyspark AnalysisException carrying the
+    same error-class. Commit conflicts, validation and permission
+    failures are different classes and propagate."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):  # Spark >=4 / <4
+            try:
+                cond = getattr(je, attr)()
+                break
+            except Exception:
+                continue
+        if cond == "DATA_SOURCE_NOT_FOUND":
+            return True
+        try:
+            cls = je.getClass().getName()
+        except Exception:
+            cls = ""
+        return cls.endswith("ClassNotFoundException")
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover
+        return False
+    if isinstance(e, AnalysisException):
+        for attr in ("getCondition", "getErrorClass"):
+            try:
+                if getattr(e, attr)() == "DATA_SOURCE_NOT_FOUND":
+                    return True
+            except Exception:
+                continue
+    return False
+
+
 def create_table_as(
     spark: SparkSession, table: str, df: DataFrame, fmt: str = "iceberg"
 ) -> str:
@@ -68,18 +105,11 @@ def create_table_as(
         except Exception as e:
             # fall back ONLY when the Iceberg runtime itself is absent;
             # a real write failure (permissions, commit conflict, bad
-            # partition spec) must not silently become a parquet table
-            msg = str(e).lower()
-            if not any(
-                marker in msg
-                for marker in (
-                    "iceberg",
-                    "data_source_not_found",
-                    "failed to find the data source",
-                    "not a valid spark sql data source",
-                    "catalog",
-                )
-            ):
+            # partition spec) must not silently become a parquet table.
+            # ADVICE r2: match the exception CLASS / Spark error-class,
+            # not message substrings ('iceberg'/'catalog' appear in the
+            # message of most genuine Iceberg write failures too).
+            if not _is_missing_datasource_error(e):
                 raise
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     return "parquet"

@@ -106,3 +106,24 @@ def test_closeness_sampled_sources(spark):
     rows = closeness_centrality(lg, num_sources=2).collect()
     nonzero = [r for r in rows if r["closeness"] > 0]
     assert len(nonzero) == 2
+
+
+def test_closeness_exact_mode_warns_at_scale(spark, monkeypatch):
+    """VERDICT r2 item 8: exact closeness is O(V*E); above the vertex
+    threshold the engine must warn (sampled runs stay silent)."""
+    import warnings
+
+    import nx_neptune_spark.operators.closeness as cl
+    from fixtures_graphs import chain_digraph
+    from nx_neptune_spark.graph import LinkGraph
+
+    lg = LinkGraph.from_networkx(spark, chain_digraph())
+    monkeypatch.setattr(cl, "EXACT_MODE_WARN_VERTICES", 3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cl.closeness_centrality(lg).collect()
+    assert any("O(V*E)" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cl.closeness_centrality(lg, num_sources=2).collect()
+    assert not any("O(V*E)" in str(w.message) for w in rec)

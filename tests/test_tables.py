@@ -49,3 +49,27 @@ def test_csv_table_and_ctas_and_drop(spark, sf_dir, tmp_path):
     drop_table(spark, "docs_ctas")
     drop_table(spark, "docs_csv_t")
     assert "docs_ctas" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_iceberg_fallback_matches_exception_class(spark):
+    """ADVICE r2: the parquet fallback fires only for the
+    missing-DataSource exception class (DATA_SOURCE_NOT_FOUND /
+    ClassNotFoundException), never by message substring -- a genuine
+    write failure that merely MENTIONS iceberg/catalog must propagate."""
+    from nx_neptune_spark.sources.tables import _is_missing_datasource_error
+
+    # the real sandbox shape: this environment has no iceberg runtime
+    try:
+        spark.range(1).writeTo("t_probe_fallback").using("iceberg").createOrReplace()
+        raise AssertionError("sandbox unexpectedly has iceberg")
+    except Exception as e:
+        assert _is_missing_datasource_error(e)
+    # a failure whose MESSAGE mentions iceberg/catalog is not a match
+    assert not _is_missing_datasource_error(
+        RuntimeError("Iceberg commit conflict in catalog main at s3://...")
+    )
+    from pyspark.errors import AnalysisException
+    try:
+        spark.sql("SELECT * FROM definitely_missing_iceberg_catalog_tbl")
+    except AnalysisException as e:
+        assert not _is_missing_datasource_error(e)
