@@ -223,6 +223,21 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(g, max_iterations=LPA_ITERS)
 
 
+def q_label_propagation_weighted(spark, sf_dir):
+    """Edge-weighted LPA (reference edgeWeightProperty combination,
+    label_propagation.py:216-228): deterministic integer-valued double
+    weights (src+dst)%3+1 keep vote sums exact in both engines, so the
+    (max weight, min label) tie-break is engine-portable."""
+    from nx_neptune_spark.operators.label_propagation import label_propagation
+
+    g = _clique_graph(spark, sf_dir)
+    we = g.edges.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 3 + 1).cast("double")
+    )
+    lg = LinkGraph(we, g.vertices, directed=False)
+    return label_propagation(lg, max_iterations=LPA_ITERS, weight="weight")
+
+
 def q_louvain(spark, sf_dir):
     """Louvain on the disjoint 5-clique graph: provably exact -- the
     unique modularity optimum of disjoint cliques is one community per
@@ -702,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "label_propagation_weighted": q_label_propagation_weighted,
         "louvain": q_louvain,
         "louvain_bridged": q_louvain_bridged,
         "triangle_count": q_triangle_count,
@@ -875,12 +891,16 @@ SELECT vid, min(lab) AS component FROM reach GROUP BY vid
 """
 
 
-def _lpa_sql() -> str:
-    head = """
+def _lpa_sql(weighted: bool = False) -> str:
+    w_col = (
+        "CAST((a.i + b.i) % 3 + 1 AS DOUBLE)" if weighted else "1.0"
+    )
+    head = f"""
 WITH
 ids AS (SELECT doc_id AS i FROM documents),
 grp AS (SELECT i, i - (i % 5) AS g FROM ids),
-sym AS (SELECT a.i AS src, b.i AS dst FROM grp a JOIN grp b ON a.g = b.g AND a.i <> b.i),
+sym AS (SELECT a.i AS src, b.i AS dst, {w_col} AS w
+        FROM grp a JOIN grp b ON a.g = b.g AND a.i <> b.i),
 lab0 AS (SELECT i AS vid, i AS label FROM ids)"""
     parts = [head]
     iters = LPA_ITERS
@@ -888,7 +908,7 @@ lab0 AS (SELECT i AS vid, i AS label FROM ids)"""
         parts.append(
             f""",
 msg{k} AS (
-  SELECT e.dst AS vid, l.label, 1.0 AS w FROM lab{k - 1} l JOIN sym e ON e.src = l.vid
+  SELECT e.dst AS vid, l.label, e.w AS w FROM lab{k - 1} l JOIN sym e ON e.src = l.vid
   UNION ALL SELECT vid, label, 1.0 FROM lab{k - 1}
 ),
 vote{k} AS (SELECT vid, label, sum(w) AS wt FROM msg{k} GROUP BY vid, label),
@@ -1240,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
+        "label_propagation_weighted": _lpa_sql(weighted=True),
         "louvain": (
             "SELECT doc_id AS vid, CAST(doc_id - doc_id % 5 AS BIGINT) AS community"
             " FROM documents"

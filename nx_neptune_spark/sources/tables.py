@@ -84,10 +84,9 @@ def _is_missing_datasource_error(e: Exception) -> bool:
     if isinstance(e, AnalysisException):
         for attr in ("getCondition", "getErrorClass"):
             try:
-                if getattr(e, attr)() == "DATA_SOURCE_NOT_FOUND":
-                    return True
+                return getattr(e, attr)() == "DATA_SOURCE_NOT_FOUND"
             except Exception:
-                continue
+                continue  # only fall through to the deprecated name
     return False
 
 
