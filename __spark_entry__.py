@@ -783,28 +783,7 @@ sh AS (SELECT DISTINCT id,
 
 
 def _pagerank_sql() -> str:
-    parts = [
-        "WITH " + _GRAPH_CTES.strip().rstrip(","),
-        f""",
-outd AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
-pr0 AS (SELECT i AS vid, 1.0 / c AS r FROM ids, n)""",
-    ]
-    for k in range(1, PR_ITERS + 1):
-        parts.append(
-            f""",
-pr{k} AS (
-  SELECT v.i AS vid, {1 - ALPHA} / n.c + {ALPHA} * coalesce(s.contrib, 0.0) AS r
-  FROM ids v CROSS JOIN n
-  LEFT JOIN (
-    SELECT e.dst, sum(p.r / o.cnt) AS contrib
-    FROM pr{k - 1} p JOIN edges e ON e.src = p.vid JOIN outd o ON o.src = e.src
-    GROUP BY e.dst
-  ) s ON s.dst = v.i
-)"""
-        )
-    parts.append(f"\nSELECT vid, round(r, 8) AS rank FROM pr{PR_ITERS}")
-    return "".join(parts)
-
+    return _pagerank_sql_ext(PR_ITERS)
 
 def _pagerank_sql_ext(
     iters: int,
@@ -814,13 +793,19 @@ def _pagerank_sql_ext(
     dangling: bool = False,
     edges_body: str | None = None,
     edges_table: str = "edges",
+    ids_table: str = "ids",
+    final_select: str | None = None,
 ) -> str:
     """Generalized unrolled-PageRank oracle (pagerank.py:242-248 update
     rule): per-edge share = w / out_w(src), teleport vector ``p_expr``,
     start vector ``x0_expr`` (both may reference v.i / i and n.c), and
     optional dangling-mass redistribution by the teleport vector.
     ``edges_body`` overrides the default _GRAPH_CTES edge table with a
-    CTE body defining ``edges_table``(src, dst[, w])."""
+    CTE body defining ``edges_table``(src, dst[, w]) plus
+    ``ids_table``(i) and n(c); ``final_select`` overrides the default
+    (vid, rank) projection. Single source of truth for every unrolled
+    PageRank oracle (plain, weighted, personalized, nstart, dangling,
+    and the pages pipeline)."""
     ctes = (edges_body or _GRAPH_CTES).strip().rstrip(",").rstrip()
     et = edges_table
     w = "e.w" if weighted else "1.0"
@@ -829,7 +814,7 @@ def _pagerank_sql_ext(
         "WITH " + ctes,
         f""",
 outw AS (SELECT src, sum({ow_w}) AS ow FROM {et} GROUP BY src),
-pr0 AS (SELECT i AS vid, {x0_expr} AS r FROM ids v CROSS JOIN n)""",
+pr0 AS (SELECT i AS vid, {x0_expr} AS r FROM {ids_table} v CROSS JOIN n)""",
     ]
     ds = (
         "(SELECT coalesce(sum(p.r), 0.0) AS ds FROM pr{prev} p"
@@ -845,7 +830,7 @@ pr0 AS (SELECT i AS vid, {x0_expr} AS r FROM ids v CROSS JOIN n)""",
             f"""{dangle_cte},
 pr{k} AS (
   SELECT v.i AS vid, {ALPHA} * ({mass}) + {1 - ALPHA} * ({p_expr}) AS r
-  FROM ids v CROSS JOIN n{dangle_join}
+  FROM {ids_table} v CROSS JOIN n{dangle_join}
   LEFT JOIN (
     SELECT e.dst, sum(p.r * ({w} / o.ow)) AS contrib
     FROM pr{k - 1} p JOIN {et} e ON e.src = p.vid JOIN outw o ON o.src = e.src
@@ -853,7 +838,9 @@ pr{k} AS (
   ) s ON s.dst = v.i
 )"""
         )
-    parts.append(f"\nSELECT vid, round(r, 8) AS rank FROM pr{iters}")
+    parts.append(
+        final_select or f"\nSELECT vid, round(r, 8) AS rank FROM pr{iters}"
+    )
     return "".join(parts)
 
 
@@ -1183,43 +1170,25 @@ def _pages_pagerank_sql() -> str:
     """Full north-rule pipeline oracle: regenerate generate_pages' exact
     link structure in DuckDB (portable md5 seeds, pages.link_edges_sql)
     and unroll 10 PageRank iterations with dangling-mass redistribution
-    (rank = a*(contrib + ds/n) + (1-a)/n, matching pagerank.py:242-248).
-    Verifies extract -> dense-id dictionary -> PageRank end-to-end:
-    any drift in extraction, id assignment, or rank arithmetic breaks
-    the per-url hash match."""
+    via the shared _pagerank_sql_ext builder. Verifies extract ->
+    dense-id dictionary -> PageRank end-to-end: any drift in
+    extraction, id assignment, or rank arithmetic breaks the per-url
+    hash match."""
     from nx_neptune_spark.sources.pages import link_edges_sql
 
-    parts = [
-        "WITH " + link_edges_sql(N_PAGES).strip().rstrip(",").rstrip(),
-        f""",
-outd AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
-pr0 AS (SELECT pid AS vid, 1.0 / {N_PAGES} AS r FROM ids)""",
-    ]
-    for k in range(1, PAGES_PR_ITERS + 1):
-        parts.append(
-            f""",
-ds{k} AS (SELECT coalesce(sum(p.r), 0.0) AS ds FROM pr{k - 1} p
-          WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = p.vid)),
-pr{k} AS (
-  SELECT v.pid AS vid,
-         {ALPHA} * (coalesce(s.contrib, 0.0) + d.ds / {N_PAGES})
-           + {1 - ALPHA} / {N_PAGES} AS r
-  FROM ids v CROSS JOIN ds{k} d
-  LEFT JOIN (
-    SELECT e.dst, sum(p.r / o.cnt) AS contrib
-    FROM pr{k - 1} p JOIN edges e ON e.src = p.vid JOIN outd o ON o.src = e.src
-    GROUP BY e.dst
-  ) s ON s.dst = v.pid
-)"""
-        )
-    parts.append(
-        f"""
-SELECT 'https://example.org/page/' || CAST(vid AS VARCHAR) AS url,
-       round(r, 8) AS rank
-FROM pr{PAGES_PR_ITERS}"""
+    body = link_edges_sql(N_PAGES).strip().rstrip(",").rstrip() + f""",
+n AS (SELECT {N_PAGES} AS c),
+vids AS (SELECT pid AS i FROM ids)"""
+    return _pagerank_sql_ext(
+        PAGES_PR_ITERS,
+        dangling=True,
+        edges_body=body,
+        ids_table="vids",
+        final_select=(
+            "\nSELECT 'https://example.org/page/' || CAST(vid AS VARCHAR) AS url,\n"
+            f"       round(r, 8) AS rank\nFROM pr{PAGES_PR_ITERS}"
+        ),
     )
-    return "".join(parts)
-
 
 def _near_dup_sql() -> str:
     return f"""

@@ -159,13 +159,17 @@ def _star_contraction(
         metrics = IterationMetrics(iteration=it)
         new_e = cp.checkpoint(small, metrics, lazy=True)
         e = new_e
-        if it == start_iter == 0:
+        if it == start_iter == 0 and max_iter > 1:
             # a multi-edge graph never contracts to a star forest in
             # one round, so round 0's check is a wasted 2|E|-row
             # exchange over the LARGEST intermediate of the run --
             # skip it and let round 1's single action materialize
             # both rounds in one job. (A graph that WAS already a
-            # star forest pays one extra cheap no-op round.)
+            # star forest pays one extra cheap no-op round; round 0's
+            # manifest carries no n_edges metric -- round 1's does.)
+            # max_iter == 1 means this is the ONLY round: check and
+            # finalize normally so a converged single-round run does
+            # not leave an incomplete manifest.
             continue
         row = star_stats(new_e)
         metrics.extra["n_edges"] = int(row["n_edges"])

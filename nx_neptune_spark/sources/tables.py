@@ -72,11 +72,18 @@ def _is_missing_datasource_error(e: Exception) -> bool:
                 continue
         if cond == "DATA_SOURCE_NOT_FOUND":
             return True
-        try:
-            cls = je.getClass().getName()
-        except Exception:
-            cls = ""
-        return cls.endswith("ClassNotFoundException")
+        # walk the cause chain: a missing catalog-plugin class surfaces
+        # as SparkException *wrapping* the ClassNotFoundException
+        seen = 0
+        while je is not None and seen < 10:
+            try:
+                if je.getClass().getName().endswith("ClassNotFoundException"):
+                    return True
+                je = je.getCause()
+            except Exception:
+                break
+            seen += 1
+        return False
     try:
         from pyspark.errors import AnalysisException
     except ImportError:  # pragma: no cover

@@ -71,6 +71,14 @@ def sessionize(
     lives forever on a continuous stream. ``watermark=None`` keeps the
     legacy unbounded behavior for bounded/replay inputs.
 
+    MIGRATION NOTE (behavior change vs the unbounded original): with
+    the default watermark, events arriving more than ``watermark``
+    behind max event time are dropped by Spark before this operator,
+    and a query RESTARTED from a checkpoint written under the old
+    NoTimeout configuration will fail (Structured Streaming forbids
+    changing the GroupState timeout type across restarts) -- pass
+    ``watermark=None`` to keep the old semantics for such queries.
+
     Cross-batch out-of-order events (ADVICE r2): a late event merges
     into the open session only if it lands within ``gap_secs`` of the
     session INTERVAL; an event older than ``session_start - gap_secs``

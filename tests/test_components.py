@@ -62,3 +62,28 @@ def test_component_label_is_min_vid(spark):
     for vid, comp in rows.items():
         assert comp <= vid
         assert rows[comp] == comp
+
+
+def test_two_phase_max_iter_1_still_finalizes(spark, tmp_path):
+    """Review r3: the round-0 check skip must not apply when round 0 is
+    the ONLY round -- a single-round converged run still finalizes its
+    durable manifest."""
+    from nx_neptune_spark.graph import LinkGraph
+    from nx_neptune_spark.operators.components import connected_components
+    from nx_neptune_spark.plans.checkpoint import CheckpointManager
+
+    # already (nearly) a star forest: two disjoint stars
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 6), (5, 7)], "src long, dst long"
+    )
+    lg = LinkGraph(edges, directed=False)
+    cp = CheckpointManager(
+        spark, str(tmp_path / "cc1"), run_id="r", algorithm="cc"
+    )
+    out = {
+        (r["vid"], r["component"])
+        for r in connected_components(lg, max_iter=1, checkpoint=cp).collect()
+    }
+    assert out == {(0, 0), (1, 0), (2, 0), (5, 5), (6, 5), (7, 5)}
+    m = cp.latest_manifest()
+    assert m is not None and m["complete"] is True
