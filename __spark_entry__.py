@@ -46,6 +46,7 @@ LPA_ITERS = 4
 BFS_MAX_DEPTH = 10
 CHAIN_STRIDE = 7
 CLOSENESS_N = 120
+SESSION_GAP_SECS = 900
 LOUVAIN_BRIDGE_N = 60
 NUM_HASHES = 12
 BANDS = 4
@@ -670,6 +671,23 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_sessions_batch(spark, sf_dir):
+    """Batch gap-sessionization over the events table (the SQL-oracled
+    twin of the streaming applyInPandasWithState operator): lag ->
+    new-session flag -> running-sum session id -> aggregate. Epoch
+    seconds as longs for engine-portable values."""
+    from nx_neptune_spark.streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(ev, gap_secs=SESSION_GAP_SECS)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_top_users_by_value(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     agg = ev.groupBy("user_id").agg(
@@ -749,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
+        "sessions_batch": q_sessions_batch,
         "lineitem_pricing": q_lineitem_pricing,
         "nation_revenue": q_nation_revenue,
         "top_users_by_value": q_top_users_by_value,
@@ -1312,6 +1331,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(64 + (octet_length(encode(text)) % 449) AS INT) AS width,"
             " CAST(64 + ((octet_length(encode(text)) * 31) % 353) AS INT) AS height,"
             " 'FAKE' AS format FROM documents"
+        ),
+        "sessions_batch": (
+            f"""WITH tt AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+f AS (SELECT user_id, t,
+      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {SESSION_GAP_SECS}
+           THEN 1 ELSE 0 END AS ns FROM tt),
+s AS (SELECT user_id, t,
+      sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, min(t) AS session_start_epoch, max(t) AS session_end_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid"""
         ),
         "events_hourly": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,"

@@ -173,6 +173,57 @@ def sessionize(
     )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    gap_secs: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch twin of :func:`sessionize` over a complete event table:
+    same gap rule, expressed with window functions (lag -> new-session
+    flag -> running sum = session id -> aggregate), so it carries a
+    full SQL oracle and emits ALL sessions including the trailing one
+    (batch input is complete; there is no open session).
+
+    Scale shape: both windows partition by ``key_col`` -- one hash
+    exchange on the key, no global ordering; the per-key ordering sort
+    is local to each partition.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    flagged = events.select(
+        F.col(key_col), t.alias("t")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            (F.col("t") - F.lag("t").over(Window.partitionBy(key_col).orderBy("t")))
+            > gap_secs,
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(
+            Window.partitionBy(key_col).orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sess.groupBy(key_col, "sid")
+        .agg(
+            F.min("t").alias("s"),
+            F.max("t").alias("e"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.col("s").cast("timestamp").alias("session_start"),
+            F.col("e").cast("timestamp").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_edge_ingest(
     pages: DataFrame, watermark: str = "1 hour", ts_col: str = "warc_ts"
 ) -> DataFrame:

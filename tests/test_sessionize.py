@@ -157,3 +157,42 @@ def test_sessionize_late_event_does_not_drag_session_start(spark, tmp_path):
     # emitted session may span from 95000 into the 100000+ interval
     assert (9, 95000, 95000, 1) in got
     assert all(not (s <= 95000 and e >= 100000) for _, s, e, _ in got)
+
+
+def test_sessionize_batch_matches_oracle_plus_trailing(spark):
+    """The batch twin emits EVERY session (bounded input => no open
+    session): closed sessions identical to the streaming gap rule,
+    plus exactly one trailing session per key."""
+    from nx_neptune_spark.streaming.events import sessionize_batch
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("user_id < 10")
+        .select("user_id", "ts")
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in sessionize_batch(ev, gap_secs=900).collect()
+    )
+    pdf = ev.toPandas()
+    pdf["epoch"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+    by_user = {int(u): g["epoch"].tolist() for u, g in pdf.groupby("user_id")}
+    closed = py_sessions(by_user, 900)
+    trailing = []
+    for uid, tss in by_user.items():
+        tss = sorted(tss)
+        start = last = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if t - last <= 900:
+                last, n = t, n + 1
+            else:
+                start = last = t
+                n = 1
+        trailing.append((uid, start, last, n))
+    assert got == sorted(closed + trailing)
