@@ -172,3 +172,33 @@ def test_href_attribute_boundary():
     assert _extract_links_one("<a class='c' href='/w'>", base) == [
         "https://example.org/w"
     ]
+
+
+def test_link_edges_sql_reproduces_extracted_edge_set(spark):
+    """The DuckDB CTE (sources/pages.py link_edges_sql) must regenerate
+    EXACTLY the edge set that generate_pages -> extract_links ->
+    from_pages produces — failure here localizes generator/oracle
+    drift that the pages_pagerank rank-hash would only report
+    opaquely."""
+    import duckdb
+
+    from nx_neptune_spark.sources.pages import generate_pages, link_edges_sql
+
+    n = 300
+    pages = generate_pages(spark, n)
+    g = LinkGraph.from_pages(pages)
+    pid_of = {
+        name: int(name.rsplit("/", 1)[1]) for name in g.vid_of()
+    }
+    vid_to_pid = {vid: pid_of[name] for name, vid in g.vid_of().items()}
+    spark_edges = sorted(
+        (vid_to_pid[r["src"]], vid_to_pid[r["dst"]])
+        for r in g.edges.collect()
+    )
+    duck_edges = sorted(
+        duckdb.connect()
+        .execute("WITH " + link_edges_sql(n).strip() + " SELECT src, dst FROM edges")
+        .fetchall()
+    )
+    assert spark_edges == duck_edges
+    assert len(spark_edges) > n  # sanity: non-trivial graph
