@@ -105,7 +105,7 @@ def main() -> None:
     g.edges = g.edges.persist()
     n_edges = g.edges.count()
     g.vertices = g.vertices.persist()
-    g.vertices.count()
+    n_verts = g.vertices.count()
     timings["extract_build_graph"] = time.time() - t0
     extra["pages"] = n_rows
     extra["edges"] = n_edges
@@ -119,6 +119,34 @@ def main() -> None:
     timings[f"pagerank_{pr_iters}iter"] = pr_secs
     extra["pagerank_iters"] = pr_iters
     extra["edges_per_sec_per_iter"] = round(n_edges * pr_iters / pr_secs, 1)
+
+    # -- north star, convergence mode ---------------------------------------
+    # BASELINE.json's metric is "edges/sec per PageRank iteration (to
+    # 1e-6 convergence)". NetworkX's stop rule is L1 < n*tol, which at
+    # n~1M vertices makes tol=1e-6 trivially loose (threshold 1.0), so
+    # the bench takes the strict absolute reading: tol = 1e-6/n, i.e.
+    # stop when L1(x_t - x_{t-1}) < 1e-6. check_every=10 runs the
+    # tol-driven path as blocks of 10 lazy iterations with ONE combined
+    # delta action per block (pagerank.py blocked mode), so convergence
+    # mode pays ~1 extra n-row join-aggregate per 10 edge-table
+    # iterations vs the fixed-depth lazy plan.
+    conv_stats: dict = {}
+    t0 = time.time()
+    prc = pagerank(
+        g,
+        tol=1e-6 / max(n_verts, 1),
+        max_iter=200,
+        check_every=10,
+        stats=conv_stats,
+    )
+    prc.select("rank").agg({"rank": "sum"}).collect()
+    conv_secs = time.time() - t0
+    timings["pagerank_converged"] = conv_secs
+    extra["pagerank_conv_iters"] = conv_stats.get("iterations")
+    extra["pagerank_conv_l1"] = conv_stats.get("delta")
+    extra["conv_edges_per_sec_per_iter"] = round(
+        n_edges * conv_stats["iterations"] / conv_secs, 1
+    )
 
     # -- other graph ops on the same web graph ------------------------------
     from nx_neptune_spark.operators.components import connected_components

@@ -63,12 +63,30 @@ def pagerank(
     raise_on_no_convergence: bool = True,
     join_hint: str | None = "shuffle_hash",
     disable_adaptive: bool = True,
+    check_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return DataFrame(vid long, rank double).
+
+    ``stats``: pass a dict to receive run metadata without a durable
+    checkpoint: ``iterations`` (updates performed), ``delta`` (last
+    measured L1 delta; None on the fixed-depth lazy path, which never
+    computes one), ``converged``.
 
     ``fixed_iterations`` disables the tolerance check and runs exactly
     that many iterations (used for SQL-oracle comparison where the
     oracle is an unrolled fixed-depth query).
+
+    ``check_every`` batches the convergence test: run k iterations as
+    one lazy multi-stage plan, then pay ONE driver action computing the
+    L1 delta between the block's last two states. The run stops at the
+    first block boundary where ``L1(x_t - x_{t-1}) < n * tol`` -- i.e.
+    at the first multiple of k at-or-past NetworkX's stopping
+    iteration, so the result is deterministic and at least as converged
+    as NetworkX's (consecutive-iteration L1 deltas of the damped power
+    iteration contract by ~alpha per step). With the default 1 the
+    behavior is exactly NetworkX's stop rule. Durable checkpoints (a
+    ``checkpoint`` with a directory) are written at block granularity.
 
     ``disable_adaptive`` turns AQE off for the duration of the call
     (see session.adaptive_disabled: the loop's shape is static and
@@ -93,6 +111,8 @@ def pagerank(
             fixed_iterations=fixed_iterations,
             raise_on_no_convergence=raise_on_no_convergence,
             join_hint=join_hint,
+            check_every=check_every,
+            stats=stats,
         )
 
 
@@ -110,6 +130,8 @@ def _pagerank_impl(
     fixed_iterations: int | None,
     raise_on_no_convergence: bool,
     join_hint: str | None,
+    check_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     spark = graph.spark
     edges = graph.symmetric_edges()
@@ -187,7 +209,11 @@ def _pagerank_impl(
     lazy_ok = fixed_iterations is not None and (
         checkpoint is None or checkpoint.checkpoint_dir is None
     )
-    if lazy_ok:
+    # Blocked convergence mode: same sentinel-edge lazy iteration body,
+    # but tol-driven -- one L1-delta action per ``check_every``-iteration
+    # block instead of one per iteration (see pagerank() docstring).
+    blocked = fixed_iterations is None and check_every > 1
+    if lazy_ok or blocked:
         # ZERO pre-loop driver actions: the sentinel union is taken
         # unconditionally (it contributes no rows when the graph has no
         # dangling vertices) and the per-iteration danglesum is a
@@ -212,7 +238,7 @@ def _pagerank_impl(
             .repartition(npart, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        for it in range(start_iter, limit):
+        def step(ranks: DataFrame) -> DataFrame:
             contribs = salted_sum(
                 lz_links.join(_hinted(ranks, join_hint), lz_links.src == ranks.vid).select(
                     "src", "dst", (F.col("rank") * F.col("share")).alias("c")
@@ -233,7 +259,7 @@ def _pagerank_impl(
                 contribs.where(F.col("dst") == sentinel_dst)
                 .agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__danglesum"))
             )
-            ranks = (
+            return (
                 meta.join(contribs, meta.vid == contribs.dst, "left")
                 .crossJoin(F.broadcast(dsum))
                 .select(
@@ -248,12 +274,65 @@ def _pagerank_impl(
                     ).alias("rank"),
                 )
             )
-            if (it + 1) % 5 == 0 and it != limit - 1:
-                ranks = cp.truncate(ranks)
-        out = ranks.select("vid", "rank").localCheckpoint(eager=True)
+
+        if lazy_ok:
+            for it in range(start_iter, limit):
+                ranks = step(ranks)
+                if (it + 1) % 5 == 0 and it != limit - 1:
+                    ranks = cp.truncate(ranks)
+            out = ranks.select("vid", "rank").localCheckpoint(eager=True)
+            lz_links.unpersist()
+            out_w.unpersist()
+            meta.unpersist()
+            if stats is not None:
+                stats.update(iterations=limit, delta=None, converged=True)
+            return out
+
+        # blocked tol-driven loop: k lazy iterations, then one action
+        # computing L1(x_t - x_{t-1}) over the block's last two states.
+        # The lazy localCheckpoint on the new state is materialized BY
+        # that same delta action, so the next block roots at cached
+        # state -- exactly one driver action per block.
+        it = start_iter
+        last_it = start_iter
+        delta = None
+        while it < max_iter and not converged:
+            block_end = min(it + check_every, max_iter)
+            prev = ranks
+            for i in range(it, block_end):
+                if i == block_end - 1:
+                    # lazy-checkpoint the block's second-to-last state so
+                    # the delta join below reads it from cache instead of
+                    # re-running its projection join as a second subtree
+                    ranks = ranks.localCheckpoint(eager=False)
+                prev = ranks
+                ranks = step(ranks)
+            ranks = ranks.localCheckpoint(eager=False)
+            delta = float(
+                ranks.join(prev.select("vid", F.col("rank").alias("__old")), "vid")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("delta"))
+                .first()["delta"]
+            )
+            last_it = block_end - 1
+            metrics = IterationMetrics(iteration=last_it, delta=delta)
+            metrics.extra["check_every"] = check_every
+            if cp.checkpoint_dir is not None:
+                ranks = cp.checkpoint(ranks.select("vid", "rank"), metrics)
+                cp.update_metrics(metrics)
+            it = block_end
+            if delta < n * tol:
+                converged = True
+                cp.finalize(last_it, metrics, state=ranks.select("vid", "rank"))
+        out = ranks.select("vid", "rank")
         lz_links.unpersist()
         out_w.unpersist()
         meta.unpersist()
+        if not converged and raise_on_no_convergence:
+            raise PowerIterationFailedConvergence(
+                f"pagerank failed to converge in {max_iter} iterations"
+            )
+        if stats is not None:
+            stats.update(iterations=last_it + 1, delta=delta, converged=converged)
         return out
 
     # --- eager path: links table cached on its own. One action
@@ -282,7 +361,8 @@ def _pagerank_impl(
                 .first()[0]
             )
 
-    it = start_iter
+    it = start_iter - 1
+    last_delta = None
     for it in range(start_iter, limit):
         contribs = salted_sum(
             links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
@@ -329,6 +409,7 @@ def _pagerank_impl(
             .first()
         )
         delta, danglesum = float(row["delta"]), float(row["dsum"])
+        last_delta = delta
         metrics.delta = delta
         cp.update_metrics(metrics)
         ranks = new_state
@@ -342,6 +423,10 @@ def _pagerank_impl(
     if not converged and raise_on_no_convergence:
         raise PowerIterationFailedConvergence(
             f"pagerank failed to converge in {limit} iterations"
+        )
+    if stats is not None:
+        stats.update(
+            iterations=it + 1, delta=last_delta, converged=converged
         )
     return ranks.select("vid", "rank")
 

@@ -72,6 +72,39 @@ def nx_pagerank(
     raise nx.PowerIterationFailedConvergence(max_iter)
 
 
+def nx_pagerank_deltas(
+    g,
+    up_to,
+    alpha=0.85,
+    weight="weight",
+):
+    """Per-iteration L1 deltas ``sum|x_t - x_{t-1}|`` of the NetworkX
+    power iteration for ``up_to`` steps (index 0 = delta after the
+    first update). Lets tests derive both NetworkX's stopping iteration
+    (first t with delta < N*tol) and the engine's blocked stop (first
+    multiple of check_every with delta < N*tol) without assuming the
+    delta sequence is monotone."""
+    if len(g) == 0:
+        return []
+    D = g.to_directed()
+    W = nx.stochastic_graph(D, weight=weight)
+    N = W.number_of_nodes()
+    x = dict.fromkeys(W, 1.0 / N)
+    p = dict.fromkeys(W, 1.0 / N)
+    dangling_nodes = [n for n in W if W.out_degree(n, weight=weight) == 0.0]
+    deltas = []
+    for _ in range(up_to):
+        xlast = x
+        x = dict.fromkeys(xlast.keys(), 0)
+        danglesum = alpha * sum(xlast[n] for n in dangling_nodes)
+        for n in x:
+            for _, nbr, wt in W.edges(n, data=weight):
+                x[nbr] += alpha * xlast[n] * wt
+            x[n] += danglesum * p.get(n, 0) + (1.0 - alpha) * p.get(n, 0)
+        deltas.append(sum(abs(x[n] - xlast[n]) for n in x))
+    return deltas
+
+
 def nx_pagerank_fixed(
     g,
     iterations,

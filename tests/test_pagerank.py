@@ -155,3 +155,104 @@ def test_non_convergence_raises(spark):
     lg = LinkGraph.from_networkx(spark, g)
     with pytest.raises(Exception):
         pagerank(lg, max_iter=2, tol=1e-12)
+
+
+def _blocked_stop_depth(g, k, tol=1e-6, weight="weight"):
+    """First multiple of ``k`` whose L1 delta is < N*tol -- exactly the
+    blocked path's stopping rule, derived from the NX delta sequence."""
+    from oracles import nx_pagerank_deltas
+
+    n = len(g)
+    deltas = nx_pagerank_deltas(g, up_to=100, weight=weight)
+    for i, d in enumerate(deltas):
+        it = i + 1  # number of updates performed
+        if it % k == 0 and d < n * tol:
+            return it
+    raise AssertionError("fixture never converges within 100 iterations")
+
+
+def test_blocked_convergence_exact_depth(spark):
+    """check_every=k stops at the first multiple of k whose L1 delta
+    crosses the NetworkX threshold, and the result is bit-comparable
+    to the lazy fixed-depth plan at that exact depth (same arithmetic,
+    same plan body)."""
+    from oracles import nx_pagerank_fixed
+
+    g = gnp_digraph()
+    k = 4
+    m = _blocked_stop_depth(g, k)
+    got_blocked = run_spark_pagerank(spark, g, check_every=k)
+    got_fixed = run_spark_pagerank(spark, g, fixed_iterations=m)
+    assert_allclose(got_blocked, got_fixed, tol=1e-12)
+    assert_allclose(got_blocked, nx_pagerank_fixed(g, m), tol=1e-9)
+
+
+def test_blocked_convergence_dangling(spark):
+    """Blocked mode on a dangling graph exercises the sentinel-edge
+    danglesum inside the lazy block body."""
+    from oracles import nx_pagerank_fixed
+
+    g = chain_digraph()  # chain tail is dangling
+    k = 3
+    m = _blocked_stop_depth(g, k)
+    got = run_spark_pagerank(spark, g, check_every=k)
+    assert_allclose(got, nx_pagerank_fixed(g, m), tol=1e-9)
+
+
+def test_blocked_durable_checkpoint_resume(spark, tmp_path):
+    """Durable checkpoints are written at block granularity; a run
+    killed mid-convergence resumes from the last block and finishes
+    with the same values as an uninterrupted blocked run."""
+    from nx_neptune_spark.plans.checkpoint import CheckpointManager
+
+    g = gnp_digraph()
+    k = 4
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+
+    cp1 = CheckpointManager(spark, str(tmp_path / "pr_blk"), algorithm="pagerank")
+    # first run: stop after one block (max_iter=k, no raise)
+    pagerank(lg, check_every=k, max_iter=k, raise_on_no_convergence=False, checkpoint=cp1)
+    m1 = cp1.latest_manifest()
+    assert m1 is not None
+    assert m1["metrics"]["iteration"] == k - 1
+    assert m1["metrics"]["check_every"] == k
+    assert not m1.get("complete")
+
+    # resume to convergence
+    cp2 = CheckpointManager(spark, str(tmp_path / "pr_blk"), algorithm="pagerank")
+    got_df = pagerank(lg, check_every=k, checkpoint=cp2)
+    got = {names[r["vid"]]: r["rank"] for r in got_df.collect()}
+    assert cp2.latest_manifest().get("complete")
+
+    want = run_spark_pagerank(spark, g, check_every=k)
+    assert_allclose(got, want, tol=1e-12)
+
+
+def test_blocked_non_convergence_raises(spark):
+    g = gnp_digraph()
+    lg = LinkGraph.from_networkx(spark, g)
+    with pytest.raises(Exception):
+        pagerank(lg, max_iter=4, tol=1e-12, check_every=2)
+
+
+def test_entry_converged_depth_pinned(spark, tmp_path):
+    """__spark_entry__.q_pagerank_converged's oracle unrolls to exactly
+    PR_CONV_ORACLE_ITERS updates; pin that the engine's blocked run on
+    the same graph stops at that depth (manifest iteration count)."""
+    import __spark_entry__ as entry
+    from nx_neptune_spark.plans.checkpoint import CheckpointManager
+
+    g = entry._pr_graph(spark, "/root/testdata/sf0.001")
+    cp = CheckpointManager(spark, str(tmp_path / "pr_conv"), algorithm="pagerank")
+    pagerank(
+        g,
+        alpha=entry.ALPHA,
+        tol=entry.PR_CONV_TOL,
+        max_iter=100,
+        check_every=entry.PR_CONV_CHECK_EVERY,
+        checkpoint=cp,
+    )
+    m = cp.latest_manifest()
+    assert m.get("complete")
+    assert m["metrics"]["iteration"] == entry.PR_CONV_ORACLE_ITERS - 1
