@@ -48,6 +48,24 @@ class PowerIterationFailedConvergence(RuntimeError):
     pass
 
 
+# Join-skew hub-split thresholds ("auto" mode): a src key only gets hub
+# treatment when its edge count exceeds BOTH an absolute floor (below
+# ~10k rows a task finishes in milliseconds regardless) and
+# HUB_IDEAL_MULTIPLE x the ideal rows-per-partition (|E|/npart). The
+# multiple is calibrated from the measured A/B in PLANS.md §17
+# (scripts/hub_skew_bench.py): at local[32]/~4.5M edges the split's
+# per-iteration BroadcastExchange latency beats the straggler savings
+# at 3.2x ideal (0.81x) and 3.6x (0.89x) and only breaks even at 16x
+# (1.06x), so auto engages exactly where the straggler unambiguously
+# dominates; on a real cluster the fixed latency amortizes and the
+# constant is conservative. Key count is capped so the hub vid list
+# stays a small codegen'd literal and the per-iteration broadcast stays
+# tiny; by construction at most |E|/HUB_MIN_DEGREE keys can qualify.
+HUB_MIN_DEGREE = 10_000
+HUB_IDEAL_MULTIPLE = 16
+HUB_MAX_KEYS = 256
+
+
 def pagerank(
     graph: LinkGraph,
     alpha: float = 0.85,
@@ -65,13 +83,20 @@ def pagerank(
     disable_adaptive: bool = True,
     check_every: int = 1,
     stats: dict | None = None,
+    hub_split: str | int | None = "auto",
 ) -> DataFrame:
     """Return DataFrame(vid long, rank double).
 
     ``stats``: pass a dict to receive run metadata without a durable
     checkpoint: ``iterations`` (updates performed), ``delta`` (last
     measured L1 delta; None on the fixed-depth lazy path, which never
-    computes one), ``converged``.
+    computes one), ``converged``, ``hub_split_keys``.
+
+    ``hub_split``: join-skew remedy for out-degree hub srcs (see the
+    hub-split block in ``_pagerank_impl``). ``"auto"`` (default)
+    engages when some src's edge count exceeds
+    max(HUB_MIN_DEGREE, HUB_IDEAL_MULTIPLE*|E|/shuffle_partitions); an
+    int forces that degree threshold; None/0 disables.
 
     ``fixed_iterations`` disables the tolerance check and runs exactly
     that many iterations (used for SQL-oracle comparison where the
@@ -113,6 +138,7 @@ def pagerank(
             join_hint=join_hint,
             check_every=check_every,
             stats=stats,
+            hub_split=hub_split,
         )
 
 
@@ -132,6 +158,7 @@ def _pagerank_impl(
     join_hint: str | None,
     check_every: int = 1,
     stats: dict | None = None,
+    hub_split: str | int | None = "auto",
 ) -> DataFrame:
     spark = graph.spark
     edges = graph.symmetric_edges()
@@ -159,15 +186,75 @@ def _pagerank_impl(
     # out_w doubles as the non-dangling vertex set (its keys are exactly
     # the vertices with outgoing edges), so one persisted aggregate
     # serves both the share normalization and dangling detection -- no
-    # second scan+distinct over the edge table.
+    # second scan+distinct over the edge table. deg (edge count per
+    # src) rides along for free and feeds the join-skew hub detector.
     out_w = (
         edges.groupBy("src")
-        .agg(F.sum("w").alias("out_w"))
+        .agg(F.sum("w").alias("out_w"), F.count(F.lit(1)).alias("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    raw_links = edges.join(out_w, "src").select(
+    raw_links = edges.join(out_w.select("src", "out_w"), "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
     )
+
+    # --- join-skew hub split (plans/skew.py rationale) -------------------
+    # The per-iteration links ⨝ ranks join co-partitions links on src;
+    # an out-degree hub therefore concentrates its edge rows in ONE
+    # task, and that straggler bounds the stage (aggregation skew on
+    # dst is already neutralized by map-side partial sums -- PLANS §13).
+    # Hub srcs get the classic split treatment: their edge rows live in
+    # a round-robin-partitioned side table joined against a BROADCAST
+    # of the (few) hub rank rows, so the hot key's work spreads across
+    # every core; tail edges keep the co-partitioned SHJ. Detection
+    # costs one tiny aggregate on the cached out_w table (V rows, and
+    # the materialization is reused by every iteration's share lookup).
+    hub_vids: list[int] = []
+    hub_links = None
+    if hub_split == "auto" or (isinstance(hub_split, int) and hub_split > 0):
+        if hub_split == "auto":
+            deg_row = out_w.agg(
+                F.max("deg").alias("mx"), F.sum("deg").alias("m")
+            ).first()
+            max_deg, m_edges = int(deg_row["mx"] or 0), int(deg_row["m"] or 0)
+            thr = max(
+                HUB_MIN_DEGREE, (HUB_IDEAL_MULTIPLE * m_edges) // max(npart, 1)
+            )
+        else:
+            thr = int(hub_split)
+            max_deg = thr  # force the probe below
+        if max_deg >= thr:
+            hub_vids = [
+                int(r["src"])
+                for r in out_w.where(F.col("deg") >= thr)
+                .orderBy(F.desc("deg"))
+                .limit(HUB_MAX_KEYS)
+                .collect()
+            ]
+    if hub_vids:
+        hub_links = (
+            raw_links.where(F.col("src").isin(hub_vids))
+            .repartition(npart)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        raw_links = raw_links.where(~F.col("src").isin(hub_vids))
+    if stats is not None:
+        stats["hub_split_keys"] = len(hub_vids)
+
+    def _join_contribs(links_df: DataFrame, ranks: DataFrame) -> DataFrame:
+        """(src, dst, c=rank*share) rows: co-partitioned SHJ for the
+        tail, broadcast join of the hub ranks against the round-robin
+        hub edge table (no hot partition)."""
+        out = links_df.join(
+            _hinted(ranks, join_hint), links_df.src == ranks.vid
+        ).select("src", "dst", (F.col("rank") * F.col("share")).alias("c"))
+        if hub_links is not None:
+            hubr = ranks.where(F.col("vid").isin(hub_vids))
+            out = out.unionByName(
+                hub_links.join(
+                    F.broadcast(hubr), hub_links.src == hubr.vid
+                ).select("src", "dst", (F.col("rank") * F.col("share")).alias("c"))
+            )
+        return out
     dangling_vids = vertices.join(
         out_w, vertices.vid == F.col("src"), "left_anti"
     ).select("vid")
@@ -240,9 +327,7 @@ def _pagerank_impl(
         )
         def step(ranks: DataFrame) -> DataFrame:
             contribs = salted_sum(
-                lz_links.join(_hinted(ranks, join_hint), lz_links.src == ranks.vid).select(
-                    "src", "dst", (F.col("rank") * F.col("share")).alias("c")
-                ),
+                _join_contribs(lz_links, ranks),
                 key="dst",
                 value=F.col("c"),
                 out="contrib",
@@ -284,6 +369,8 @@ def _pagerank_impl(
             lz_links.unpersist()
             out_w.unpersist()
             meta.unpersist()
+            if hub_links is not None:
+                hub_links.unpersist()
             if stats is not None:
                 stats.update(iterations=limit, delta=None, converged=True)
             return out
@@ -327,6 +414,8 @@ def _pagerank_impl(
         lz_links.unpersist()
         out_w.unpersist()
         meta.unpersist()
+        if hub_links is not None:
+            hub_links.unpersist()
         if not converged and raise_on_no_convergence:
             raise PowerIterationFailedConvergence(
                 f"pagerank failed to converge in {max_iter} iterations"
@@ -365,9 +454,7 @@ def _pagerank_impl(
     last_delta = None
     for it in range(start_iter, limit):
         contribs = salted_sum(
-            links.join(_hinted(ranks, join_hint), links.src == ranks.vid).select(
-                "src", "dst", (F.col("rank") * F.col("share")).alias("c")
-            ),
+            _join_contribs(links, ranks),
             key="dst",
             value=F.col("c"),
             out="contrib",
@@ -420,6 +507,8 @@ def _pagerank_impl(
     links.unpersist()
     out_w.unpersist()
     meta.unpersist()
+    if hub_links is not None:
+        hub_links.unpersist()
     if not converged and raise_on_no_convergence:
         raise PowerIterationFailedConvergence(
             f"pagerank failed to converge in {limit} iterations"

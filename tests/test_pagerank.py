@@ -236,6 +236,64 @@ def test_blocked_non_convergence_raises(spark):
         pagerank(lg, max_iter=4, tol=1e-12, check_every=2)
 
 
+def test_hub_split_forced_values_unchanged(spark):
+    """Forcing the join-skew hub split (explicit degree threshold) on a
+    power-law graph must leave values unchanged vs the plain
+    co-partitioned join -- only the physical placement of hub-src edge
+    rows differs."""
+    g = barabasi()
+    want = run_spark_pagerank(spark, g, hub_split=None, fixed_iterations=20)
+    got = run_spark_pagerank(spark, g, hub_split=5, fixed_iterations=20)
+    assert_allclose(got, want, tol=1e-9)
+    # blocked tol-driven body goes through the same _join_contribs
+    got_blk = run_spark_pagerank(spark, g, hub_split=5, check_every=4)
+    want_blk = run_spark_pagerank(spark, g, hub_split=None, check_every=4)
+    assert_allclose(got_blk, want_blk, tol=1e-9)
+
+
+def test_hub_split_auto_decision(spark, monkeypatch):
+    """Auto mode engages only past BOTH thresholds (absolute floor AND
+    HUB_IDEAL_MULTIPLE x ideal rows/partition). The multiple is
+    calibrated for bench-scale graphs (PLANS.md §17), so the trigger
+    case patches it down to make a 12k-out-degree hub qualify at the
+    test's npart=4; values must still match NetworkX."""
+    import sys
+
+    import networkx as nx
+
+    from oracles import nx_pagerank_fixed
+
+    # `operators.__init__` re-exports the pagerank FUNCTION, shadowing
+    # the submodule attribute -- resolve the module itself
+    prmod = sys.modules["nx_neptune_spark.operators.pagerank"]
+
+    g = nx.DiGraph()
+    g.add_edges_from((0, i) for i in range(1, 12001))
+    g.add_edges_from((i, 0) for i in range(1, 51))
+    lg = LinkGraph.from_networkx(spark, g)
+
+    # default multiple: hub share (~100%) < 16/npart is impossible to
+    # reach at npart=4, so auto stays off
+    stats_off: dict = {}
+    pagerank(lg, fixed_iterations=5, stats=stats_off)
+    assert stats_off["hub_split_keys"] == 0
+
+    monkeypatch.setattr(prmod, "HUB_IDEAL_MULTIPLE", 2)
+    stats: dict = {}
+    res = pagerank(lg, fixed_iterations=5, stats=stats)
+    assert stats["hub_split_keys"] == 1
+    names = lg.name_of()
+    got = {names[r["vid"]]: r["rank"] for r in res.collect()}
+    assert_allclose(got, nx_pagerank_fixed(g, 5), tol=1e-9)
+
+    # small fixture: auto stays off even with the patched multiple
+    # (absolute floor)
+    stats2: dict = {}
+    lg2 = LinkGraph.from_networkx(spark, barabasi())
+    pagerank(lg2, fixed_iterations=2, stats=stats2)
+    assert stats2["hub_split_keys"] == 0
+
+
 def test_entry_converged_depth_pinned(spark, tmp_path):
     """__spark_entry__.q_pagerank_converged's oracle unrolls to exactly
     PR_CONV_ORACLE_ITERS updates; pin that the engine's blocked run on
