@@ -9,8 +9,13 @@ each has an exact DuckDB SQL oracle:
                         bucketing, candidate join, exact-Jaccard verify
   * ngram_jaccard    -- shared-shingle candidate generation + exact
                         Jaccard (the no-approximation baseline)
-  * simhash          -- 16-bit SimHash fingerprints; near-dups = pairs
-                        sharing a band half with small Hamming distance
+  * simhash          -- 60-bit (default; configurable, hard-capped at
+                        60) SimHash fingerprints; near-dups = pairs
+                        found by max_hamming+1-part pigeonhole
+                        bucketing with exact Hamming verify. NOTE: the
+                        default width changed 16→60 in round 3 —
+                        fingerprints persisted under the old default
+                        are incomparable with new ones (CHANGELOG.md)
   * embedding cosine -- see operators/ann.py (near_duplicate_pairs)
 
 Scale notes: every pipeline is shingle-explode -> aggregate -> join;

@@ -73,12 +73,17 @@ def _is_missing_datasource_error(e: Exception) -> bool:
         if cond == "DATA_SOURCE_NOT_FOUND":
             return True
         # walk the cause chain: a missing catalog-plugin class surfaces
-        # as SparkException *wrapping* the ClassNotFoundException
+        # as SparkException *wrapping* the ClassNotFoundException. Only
+        # an iceberg-named missing class means "runtime jar absent" —
+        # a CNFE for some other class (codec, catalog dependency) is a
+        # genuine failure and must propagate, not fall back to parquet
+        # (ADVICE r3).
         seen = 0
         while je is not None and seen < 10:
             try:
                 if je.getClass().getName().endswith("ClassNotFoundException"):
-                    return True
+                    msg = str(je.getMessage() or "")
+                    return "iceberg" in msg.lower()
                 je = je.getCause()
             except Exception:
                 break

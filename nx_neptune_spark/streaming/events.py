@@ -68,8 +68,11 @@ def sessionize(
     armed at ``session_end + gap_secs``, so once the watermark passes
     the gap horizon the trailing open session is FLUSHED (emitted) and
     its state evicted. Without this, one open session per distinct key
-    lives forever on a continuous stream. ``watermark=None`` keeps the
-    legacy unbounded behavior for bounded/replay inputs.
+    lives forever on a continuous stream. ``watermark=None`` DISABLES
+    state eviction entirely — state then grows with the number of
+    distinct keys, which is safe only for bounded/replay inputs or
+    checkpoints written under the old NoTimeout configuration; never
+    run an unbounded production stream with ``watermark=None``.
 
     MIGRATION NOTE (behavior change vs the unbounded original): with
     the default watermark, events arriving more than ``watermark``

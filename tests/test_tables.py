@@ -73,3 +73,60 @@ def test_iceberg_fallback_matches_exception_class(spark):
         spark.sql("SELECT * FROM definitely_missing_iceberg_catalog_tbl")
     except AnalysisException as e:
         assert not _is_missing_datasource_error(e)
+
+
+class _FakeJException:
+    """Duck-typed stand-in for a py4j JavaObject exception: just enough
+    surface (getClass().getName(), getMessage(), getCause()) to drive
+    _is_missing_datasource_error's cause-chain walk."""
+
+    def __init__(self, cls_name, message=None, cause=None):
+        self._cls, self._msg, self._cause = cls_name, message, cause
+
+    def getClass(self):
+        outer = self
+
+        class _C:
+            def getName(self):
+                return outer._cls
+
+        return _C()
+
+    def getMessage(self):
+        return self._msg
+
+    def getCause(self):
+        return self._cause
+
+    def getCondition(self):
+        return None
+
+    def getErrorClass(self):
+        return None
+
+
+def test_iceberg_fallback_cnfe_must_name_iceberg():
+    """ADVICE r3: a wrapped ClassNotFoundException only means 'iceberg
+    runtime absent' when the missing class itself is iceberg-named; a
+    CNFE for some other class (codec, catalog dep) must propagate
+    rather than silently degrade the table to parquet."""
+    from nx_neptune_spark.sources.tables import _is_missing_datasource_error
+
+    def wrapped(cnfe_msg):
+        e = RuntimeError("write failed")
+        e.java_exception = _FakeJException(
+            "org.apache.spark.SparkException",
+            "Writing job aborted",
+            _FakeJException("java.lang.ClassNotFoundException", cnfe_msg),
+        )
+        return e
+
+    assert _is_missing_datasource_error(
+        wrapped("org.apache.iceberg.spark.source.IcebergSource")
+    )
+    assert _is_missing_datasource_error(wrapped("iceberg.DefaultSource"))
+    # missing codec / unrelated class: NOT a fallback trigger
+    assert not _is_missing_datasource_error(
+        wrapped("org.apache.hadoop.io.compress.ZStandardCodec")
+    )
+    assert not _is_missing_datasource_error(wrapped(None))
