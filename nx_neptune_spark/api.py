@@ -241,11 +241,15 @@ def louvain_communities(
     """list-of-sets shape (reference louvain.py:46-148: threshold ->
     iterationTolerance louvain.py:101-102, level_tolerance ->
     levelTolerance :113-118, max_level -> maxLevels, write_property
-    mutate builder opencypher_builder.py:804-829; `resolution`/`seed`
-    unsupported there too, louvain.py:96)."""
+    mutate builder opencypher_builder.py:804-829). The reference
+    warns-unsupported for `resolution`/`seed` (louvain.py:96 — a
+    Neptune Analytics limitation); this engine supports `resolution`
+    natively (generalized-modularity γ, operators/louvain.py) and only
+    `seed` keeps the warn-and-ignore parity (the parallel variant is
+    deterministic, no RNG to seed)."""
     from .operators.louvain import louvain_communities as _lv
 
-    _warn_unsupported("louvain_communities", resolution=resolution, seed=seed)
+    _warn_unsupported("louvain_communities", seed=seed)
     result = _lv(
         graph,
         weight=weight,
@@ -253,6 +257,7 @@ def louvain_communities(
         max_iterations=max_iterations,
         iteration_tolerance=threshold if threshold is not None else 0.0,
         level_tolerance=level_tolerance if level_tolerance is not None else 0.0,
+        resolution=resolution if resolution is not None else 1.0,
     )
     if write_property is not None:
         _write_vertex_property(graph, result, "community", write_property)

@@ -176,9 +176,7 @@ class BackendInterface:
         comms = api.louvain_communities(
             _lg(G),
             weight=weight,
-            # NX defaults would trigger spurious warn-and-ignore; only
-            # forward a resolution the caller actually changed
-            resolution=None if resolution == 1 else resolution,
+            resolution=resolution,
             threshold=threshold,
             max_level=max_level,
             seed=seed,

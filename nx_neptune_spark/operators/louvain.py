@@ -66,12 +66,22 @@ def louvain_communities(
     max_iterations: int = 10,
     iteration_tolerance: float = 0.0,
     level_tolerance: float = 0.0,
+    resolution: float = 1.0,
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """Returns DataFrame(vid long, community long).
 
     Community ids are the minimum original vid contained in the
     community (deterministic representative).
+
+    ``resolution`` is the γ of generalized modularity
+    Q = intra/2m − γ·Σ(σ_c/2m)² (Reichardt–Bornholdt): γ > 1 favors
+    more, smaller communities; γ < 1 fewer, larger ones. The reference
+    warns-unsupported here (louvain.py:96, a Neptune Analytics
+    limitation) — this engine supports it natively by scaling the
+    σ-term in every local-moving gain and in both tolerance
+    modularity evaluations. Default 1.0 = classic modularity,
+    identical to the pre-resolution behavior.
 
     ``iteration_tolerance`` (reference threshold -> iterationTolerance,
     louvain.py:101-102): stop a level's local-moving sweeps when the
@@ -125,13 +135,13 @@ def louvain_communities(
     completed = start_level  # levels durably checkpointed so far
     for _level in range(start_level, max_levels):
         edges = cp.truncate(edges)
-        comm = _local_moving(edges, cp, max_iterations, iteration_tolerance)
+        comm = _local_moving(edges, cp, max_iterations, iteration_tolerance, resolution)
         if level_tolerance > 0.0:
             two_m = edges.agg(F.sum("w")).first()[0] or 1.0
             deg = edges.groupBy("src").agg(F.sum("w").alias("k")).withColumnRenamed(
                 "src", "vid"
             )
-            q = _modularity(edges, comm, deg, float(two_m))
+            q = _modularity(edges, comm, deg, float(two_m), resolution)
             if prev_q is not None and q - prev_q < level_tolerance:
                 converged = True
                 break
@@ -183,9 +193,13 @@ def louvain_communities(
 
 
 def _modularity(
-    edges: DataFrame, comm: DataFrame, deg: DataFrame, two_m: float
+    edges: DataFrame,
+    comm: DataFrame,
+    deg: DataFrame,
+    two_m: float,
+    resolution: float = 1.0,
 ) -> float:
-    """Q = intra/2m - sum_c (sigma_c/2m)^2 over the symmetric
+    """Q = intra/2m - γ·sum_c (sigma_c/2m)^2 over the symmetric
     (double-counted) edge representation; self-loop rows carry the full
     both-direction internal mass, so Q is invariant under contraction."""
     cs = comm.select(F.col("vid").alias("src"), F.col("c").alias("cs"))
@@ -202,7 +216,7 @@ def _modularity(
         .agg(F.coalesce(F.sum(F.col("sigma") * F.col("sigma")), F.lit(0.0)))
         .first()[0]
     )
-    return float(intra) / two_m - float(sigma_sq) / (two_m * two_m)
+    return float(intra) / two_m - resolution * float(sigma_sq) / (two_m * two_m)
 
 
 def _local_moving(
@@ -210,6 +224,7 @@ def _local_moving(
     cp: CheckpointManager,
     max_iterations: int,
     iteration_tolerance: float = 0.0,
+    resolution: float = 1.0,
 ) -> DataFrame:
     """One level of parallel local moving. edges: symmetric (src,dst,w).
     Returns (vid, c)."""
@@ -237,8 +252,8 @@ def _local_moving(
             .agg(F.sum("w").alias("k_in"))
         )
         state = comm.join(deg, "vid")
-        # candidate gain: k_in(c) - k*sigma'(c)/(2m), sigma' excludes self
-        # when evaluating the current community
+        # candidate gain: k_in(c) - γ*k*sigma'(c)/(2m), sigma' excludes
+        # self when evaluating the current community (γ = resolution)
         cands = (
             k_in.join(state, "vid")
             .join(sigma.withColumnRenamed("c", "cand"), "cand")
@@ -249,7 +264,8 @@ def _local_moving(
                 "k",
                 (
                     F.col("k_in")
-                    - F.col("k")
+                    - F.lit(resolution)
+                    * F.col("k")
                     * (
                         F.col("sigma")
                         - F.when(F.col("cand") == F.col("c"), F.col("k")).otherwise(0.0)
@@ -266,7 +282,12 @@ def _local_moving(
                 F.col("c").alias("cand"),
                 "c",
                 "k",
-                (-F.col("k") * (F.col("sigma") - F.col("k")) / F.lit(two_m)).alias("gain"),
+                (
+                    -F.lit(resolution)
+                    * F.col("k")
+                    * (F.col("sigma") - F.col("k"))
+                    / F.lit(two_m)
+                ).alias("gain"),
             )
         )
         best = (
@@ -307,7 +328,7 @@ def _local_moving(
         # action per pair (the pair-end value carries over as the next
         # pair's baseline), not two per sweep.
         if iteration_tolerance > 0.0 and it % 2 == 1:
-            q_now = _modularity(edges, comm, deg, float(two_m))
+            q_now = _modularity(edges, comm, deg, float(two_m), resolution)
             if q_prev is not None and q_now - q_prev < iteration_tolerance:
                 if q_now < q_prev:
                     # parity-damped synchronous moving can oscillate;

@@ -94,11 +94,14 @@ def test_triangles_and_bfs(spark):
 
 
 def test_louvain_api_shape_and_warns(spark):
+    """resolution is now natively supported (round 4) -- only `seed`
+    keeps warn-and-ignore parity with the reference (louvain.py:96)."""
     lg = LinkGraph.from_networkx(spark, two_triangles_bridge())
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         comms = api.louvain_communities(lg, resolution=1.2, seed=7)
-    assert any("resolution" in str(x.message) for x in w)
+    assert any("seed" in str(x.message) for x in w)
+    assert not any("resolution" in str(x.message) for x in w)
     assert sorted(map(sorted, comms)) == [["A", "B", "C"], ["D", "E", "F"]]
 
 

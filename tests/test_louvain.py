@@ -57,3 +57,39 @@ def test_planted_partition_quality(spark):
         g, nx.community.louvain_communities(g, seed=42)
     )
     assert q_ours >= 0.95 * q_seq, (q_ours, q_seq)
+
+
+def test_resolution_extremes_merge_and_split(spark):
+    """Generalized-modularity γ behavior on planted structure: γ≈0
+    removes the σ² penalty so the bridged cliques merge into one
+    community; γ=1 recovers the cliques; a large γ makes every merge
+    unprofitable and yields singletons. Deterministic (no RNG)."""
+    g = nx.ring_of_cliques(6, 5)
+    lo = comm_sets(spark, g, resolution=0.01, max_levels=6)
+    assert len(lo) == 1
+
+    mid = comm_sets(spark, g, resolution=1.0)
+    assert len(mid) == 6
+    assert all(len(s) == 5 for s in mid)
+
+    # γ larger than any k_in*2m/(k_i*k_j) bound: staying alone wins
+    hi = comm_sets(spark, g, resolution=50.0)
+    assert all(len(s) == 1 for s in hi)
+
+
+def test_resolution_differential_vs_networkx(spark):
+    """Band differential vs sequential NetworkX Louvain at the SAME γ:
+    our partition's generalized modularity (resolution=γ) must reach
+    >=95% of the sequential algorithm's on planted structure, at both
+    a merging (0.5) and a splitting (2.0) resolution."""
+    g = nx.ring_of_cliques(10, 6)
+    for gamma in (0.5, 2.0):
+        parts = comm_sets(spark, g, resolution=gamma, max_levels=4)
+        parts = [{int(x) for x in s} for s in parts]
+        q_ours = nx.community.modularity(g, parts, resolution=gamma)
+        q_seq = nx.community.modularity(
+            g,
+            nx.community.louvain_communities(g, resolution=gamma, seed=42),
+            resolution=gamma,
+        )
+        assert q_ours >= 0.95 * q_seq, (gamma, q_ours, q_seq)
