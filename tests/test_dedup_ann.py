@@ -301,6 +301,88 @@ def test_multimodal_stubs(spark, docs):
     assert all(f["offset"] == f["frame_idx"] * 10 for f in frames)
 
 
+def _png_bytes(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _bmp_bytes(w, h):
+    import struct
+
+    # 14-byte file header + BITMAPINFOHEADER (negative height = top-down)
+    return (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, w, -h, 1, 24)
+    )
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_header_real_formats():
+    """Round-4 real decode: the stdlib header parser must extract true
+    dims+format from genuine PNG/GIF/BMP/JPEG bytes (built field by
+    field from the public specs) and reject non-image bytes."""
+    from nx_neptune_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(320, 200)) == (320, 200, "PNG")
+    assert parse_image_header(_gif_bytes(640, 480)) == (640, 480, "GIF")
+    assert parse_image_header(_bmp_bytes(1024, 768)) == (1024, 768, "BMP")
+    assert parse_image_header(_jpeg_bytes(800, 600)) == (800, 600, "JPEG")
+    assert parse_image_header(b"plain text, not an image") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(None) is None
+    # truncated PNG signature without IHDR dims: not decodable
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_image_metadata_decodes_real_headers(spark):
+    """image_metadata end-to-end through mapInPandas: real-format blobs
+    come back with true dims; an unrecognized blob in the SAME batch
+    falls back per-element to the deterministic fake."""
+    rows = [
+        (1, _png_bytes(33, 44)),
+        (2, _gif_bytes(12, 34)),
+        (3, _bmp_bytes(55, 66)),
+        (4, _jpeg_bytes(77, 88)),
+        (5, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    meta = {r["media_id"]: r for r in image_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (33, 44, "PNG")
+    assert (meta[2]["width"], meta[2]["height"], meta[2]["format"]) == (12, 34, "GIF")
+    assert (meta[3]["width"], meta[3]["height"], meta[3]["format"]) == (55, 66, "BMP")
+    assert (meta[4]["width"], meta[4]["height"], meta[4]["format"]) == (77, 88, "JPEG")
+    n = len(rows[4][1])
+    assert meta[5]["format"] == "FAKE" and meta[5]["width"] == 64 + (n % 449)
+
+
 def test_text_functions(spark, docs):
     out = docs.select(
         "doc_id",
