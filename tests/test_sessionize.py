@@ -159,6 +159,75 @@ def test_sessionize_late_event_does_not_drag_session_start(spark, tmp_path):
     assert all(not (s <= 95000 and e >= 100000) for _, s, e, _ in got)
 
 
+def test_sessionize_checkpoint_restart_continuity(spark, tmp_path):
+    """VERDICT r3 item 5: drive a CHECKPOINTED sessionize query through
+    stop + restart. The restarted query must (a) resume from the state
+    store -- an event within the gap of a pre-restart open session
+    merges into ONE session spanning the restart, and a post-restart
+    event past the gap CLOSES the pre-restart session from restored
+    state -- and (b) still evict via event-time timeout after the
+    restart once the watermark passes the gap horizon."""
+    import os
+
+    src = str(tmp_path / "ev_restart")
+    cp = str(tmp_path / "cp_restart")
+    out = str(tmp_path / "out_restart")
+    os.makedirs(src)
+
+    def run_until_drained():
+        q = (
+            sessionize(
+                spark.readStream.schema("user_id long, ts timestamp").parquet(src),
+                gap_secs=900,
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # run 1: open sessions only (max ts 2000 keeps the watermark at 0,
+    # so nothing flushes and all state must survive in the checkpoint)
+    _write_parquet(
+        f"{src}/a.parquet", [(1, 1000), (1, 1200), (2, 2000)], mtime=1_000_000
+    )
+    run_until_drained()
+    first = spark.read.schema(SESSION_READ_SCHEMA).parquet(out).collect()
+    assert first == []  # nothing closed, nothing timed out yet
+
+    # run 2 (the RESTART, same checkpoint): u1's 1800 is within gap of
+    # the restored (1000,1200) session; u2's 3500 is past gap of the
+    # restored (2000,2000) session; u9 pushes the watermark to 92800
+    # which is past every other key's gap horizon
+    _write_parquet(
+        f"{src}/b.parquet", [(1, 1800), (2, 3500), (9, 100000)], mtime=1_000_100
+    )
+    run_until_drained()
+    got = sorted(
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in spark.read.schema(SESSION_READ_SCHEMA).parquet(out).collect()
+    )
+    assert got == [
+        (1, 1000, 1800, 3),  # merged ACROSS the restart, then flushed
+        (2, 2000, 2000, 1),  # closed from restored state by the 3500 event
+        (2, 3500, 3500, 1),  # new post-restart session, then flushed
+    ]  # u9 (100000) is inside the gap horizon: still open, not emitted
+
+
+SESSION_READ_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
 def test_sessionize_batch_matches_oracle_plus_trailing(spark):
     """The batch twin emits EVERY session (bounded input => no open
     session): closed sessions identical to the streaming gap rule,
