@@ -1,2 +1,2 @@
 from .checkpoint import CheckpointManager, IterationMetrics  # noqa: F401
-from .skew import salted_sum, split_hubs  # noqa: F401
+from .skew import salted_sum  # noqa: F401

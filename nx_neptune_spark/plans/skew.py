@@ -49,14 +49,11 @@ def salted_sum(
     return df.groupBy(key).agg(F.sum(value).alias(out))
 
 
-def split_hubs(
-    edges: DataFrame, degree_threshold: int, key: str = "dst"
-) -> tuple[DataFrame, DataFrame]:
-    """Partition the edge table into (hub_edges, tail_edges) by in-degree
-    of ``key``. Callers can process hub keys with a higher salt factor.
-    """
-    deg = edges.groupBy(key).count()
-    hubs = deg.where(F.col("count") >= degree_threshold).select(key)
-    hub_edges = edges.join(F.broadcast(hubs), key, "left_semi")
-    tail_edges = edges.join(F.broadcast(hubs), key, "left_anti")
-    return hub_edges, tail_edges
+# JOIN-side hub handling (out-degree hubs concentrating a co-partitioned
+# join's input in one task) lives in operators/pagerank.py::_pagerank_impl
+# (`hub_split="auto"`), which detects hubs from the already-persisted
+# out-degree aggregate instead of re-scanning the edge table the way a
+# generic split helper would; PLANS.md §17 records the measured engage
+# threshold. A previous generic `split_hubs(edges, threshold)` helper was
+# removed: unused, and strictly worse (one extra full-edge-table groupBy
+# per call) than detection riding an aggregate the caller already has.
