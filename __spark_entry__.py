@@ -54,6 +54,7 @@ SHINGLE_K = 3
 N_PAGES = 300
 PAGES_PR_ITERS = 10
 PR_VARIANT_ITERS = 5  # weighted/personalized/nstart/dangling contract depth
+HITS_ITERS = 8  # hubs/authorities contract depth (oracle unrolls the same)
 PR_CONV_TOL = 1.0e-6
 PR_CONV_CHECK_EVERY = 4
 # Blocked tol-driven pagerank on the sf0.01 pr-graph (n=500, 1494
@@ -734,6 +735,22 @@ def q_top_users_by_value(spark, sf_dir):
     )
 
 
+def q_hits_web(spark, sf_dir):
+    """HITS hubs/authorities on the skewed digraph (round-4 link-graph
+    extension, operators/hits.py; no reference analog — Neptune
+    Analytics ships no HITS). Fixed depth so the DuckDB oracle
+    (_hits_sql) unrolls the identical per-iteration max-normalized
+    double arithmetic."""
+    from nx_neptune_spark.operators.hits import hits
+
+    g = _pr_graph(spark, sf_dir)
+    res = hits(g, fixed_iterations=HITS_ITERS)
+    return res.select(
+        "vid", F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"),
+    )
+
+
 def q_pages_pagerank(spark, sf_dir):
     """Flagship north-rule pipeline: synthetic Common-Crawl-style pages
     -> pandas-UDF link extraction -> dense ids -> PageRank -> scores
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nstart": q_pagerank_nstart,
         "pagerank_dangling": q_pagerank_dangling,
         "pagerank_converged": q_pagerank_converged,
+        "hits_web": q_hits_web,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -836,6 +854,45 @@ sh AS (SELECT DISTINCT id,
 
 def _pagerank_sql() -> str:
     return _pagerank_sql_ext(PR_ITERS)
+
+
+def _hits_sql(iters: int = None) -> str:
+    """Unrolled HITS oracle (operators/hits.py update rule): per
+    iteration k — a_k from NORMALIZED h_{k-1}, h_k from RAW a_k, both
+    max-normalized; final sum-normalization; vertices outside a score's
+    support are exact zeros."""
+    k_n = iters if iters is not None else HITS_ITERS
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        ",\nh0 AS (SELECT i AS vid, 1.0 / n.c AS s FROM ids v CROSS JOIN n)",
+    ]
+    # ar{k}/hr{k} are each referenced 3x (next matvec, max, normalize);
+    # MATERIALIZED stops DuckDB from inlining them, which would expand
+    # the unrolled DAG (and its parquet scans) exponentially with depth
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (SELECT e.dst AS vid, sum(h.s) AS s
+          FROM h{k - 1} h JOIN edges e ON e.src = h.vid GROUP BY e.dst),
+hr{k} AS MATERIALIZED (SELECT e.src AS vid, sum(a.s) AS s
+          FROM ar{k} a JOIN edges e ON e.dst = a.vid GROUP BY e.src),
+am{k} AS (SELECT max(s) AS m FROM ar{k}),
+hm{k} AS (SELECT max(s) AS m FROM hr{k}),
+a{k} AS MATERIALIZED (SELECT vid, s / m AS s FROM ar{k} CROSS JOIN am{k}),
+h{k} AS MATERIALIZED (SELECT vid, s / m AS s FROM hr{k} CROSS JOIN hm{k})"""
+        )
+    parts.append(
+        f""",
+hsum AS (SELECT sum(s) AS t FROM h{k_n}),
+asum AS (SELECT sum(s) AS t FROM a{k_n})
+SELECT v.i AS vid,
+       round(coalesce(h.s / hsum.t, 0.0), 8) AS hub,
+       round(coalesce(a.s / asum.t, 0.0), 8) AS authority
+FROM ids v CROSS JOIN hsum CROSS JOIN asum
+LEFT JOIN h{k_n} h ON h.vid = v.i
+LEFT JOIN a{k_n} a ON a.vid = v.i"""
+    )
+    return "".join(parts)
 
 def _pagerank_sql_ext(
     iters: int,
@@ -1282,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         # tol-driven run pinned at its measured stopping depth -- see
         # the PR_CONV_ORACLE_ITERS comment for the derivation
         "pagerank_converged": _pagerank_sql_ext(PR_CONV_ORACLE_ITERS),
+        "hits_web": _hits_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

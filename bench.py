@@ -151,11 +151,23 @@ def main() -> None:
     # -- other graph ops on the same web graph ------------------------------
     from nx_neptune_spark.operators.components import connected_components
     from nx_neptune_spark.operators.degree import degree_centrality
+    from nx_neptune_spark.operators.hits import hits
     from nx_neptune_spark.operators.triangles import triangle_count
 
     t0 = time.time()
     connected_components(g).groupBy("component").count().count()
     timings["connected_components"] = time.time() - t0
+
+    # HITS = two coupled matvecs/iteration (2x PageRank's exchange
+    # budget), fixed-depth lazy plan; throughput reported per iteration
+    hits_iters = 5
+    t0 = time.time()
+    hits(g, fixed_iterations=hits_iters).agg(
+        {"hub": "sum", "authority": "sum"}
+    ).collect()
+    hits_secs = time.time() - t0
+    timings["hits_5iter"] = hits_secs
+    extra["hits_edges_per_sec_per_iter"] = round(n_edges * hits_iters / hits_secs, 1)
 
     t0 = time.time()
     triangle_count(g).agg({"triangles": "sum"}).collect()

@@ -132,6 +132,42 @@ def pagerank(
     return {name_of[r["vid"]]: r["rank"] for r in result.collect()}
 
 
+def hits(
+    graph: LinkGraph,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    nstart: dict | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+) -> tuple[dict, dict]:
+    """NetworkX-shaped HITS: returns ({node: hub}, {node: authority}).
+
+    No reference analog (Neptune Analytics ships no HITS; SURVEY §2.9
+    extension class) — the signature follows ``nx.hits`` exactly, plus
+    ``weight`` for weighted adjacency (nx uses adjacency weights via
+    its sparse matrix; pass weight="weight" for that behavior).
+    """
+    from .operators.hits import hits as _hits
+
+    name_of = graph.name_of()
+    vid_of = {v: k for k, v in name_of.items()}
+    ns = (
+        {vid_of[str(k)]: v for k, v in nstart.items()} if nstart is not None else None
+    )
+    rows = _hits(
+        graph,
+        max_iter=max_iter,
+        tol=tol,
+        nstart=ns,
+        normalized=normalized,
+        weight=weight,
+    ).collect()
+    return (
+        {name_of[r["vid"]]: r["hub"] for r in rows},
+        {name_of[r["vid"]]: r["authority"] for r in rows},
+    )
+
+
 def degree_centrality(
     graph: LinkGraph,
     direction: str = "both",

@@ -47,6 +47,7 @@ ALGORITHMS = [
     # north-rule additions (SURVEY.md §2.9)
     "connected_components",
     "triangles",
+    "hits",
 ]
 
 
@@ -110,6 +111,22 @@ class BackendInterface:
             **backend_kwargs,
         )
         return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def hits(G, max_iter=100, tol=1e-8, nstart=None, normalized=True, **kw):
+        back = _back(G)
+        h, a = api.hits(
+            _lg(G),
+            max_iter=max_iter,
+            tol=tol,
+            nstart=nstart,
+            normalized=normalized,
+            **kw,
+        )
+        return (
+            {back[k]: v for k, v in h.items()},
+            {back[k]: v for k, v in a.items()},
+        )
 
     # -- centrality ----------------------------------------------------
 

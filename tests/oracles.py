@@ -147,3 +147,53 @@ def nx_pagerank_fixed(
                 x[nbr] += alpha * xlast[n] * wt
             x[n] += danglesum * dangling_weights.get(n, 0) + (1.0 - alpha) * p.get(n, 0)
     return x
+
+
+def nx_hits(g, max_iter=100, tol=1e-8, nstart=None, normalized=True,
+            fixed_iterations=None, weight=None):
+    """Pure-python HITS, faithful to NetworkX hits_alg semantics
+    (nx.hits itself needs scipy, absent here): a from normalized
+    h_{k-1}; h from RAW a_k; both max-normalized; L1(h) stop; final
+    sum-normalization. Returns (hubs, authorities) dicts."""
+    n = g.number_of_nodes()
+    if n == 0:
+        return {}, {}
+    if g.number_of_edges() == 0:
+        z = dict.fromkeys(g, 0.0)
+        return dict(z), dict(z)
+    if nstart is None:
+        h = dict.fromkeys(g, 1.0 / n)
+    else:
+        s = sum(nstart.values())
+        h = {k: v / s for k, v in nstart.items()}
+    a = dict.fromkeys(g, 0.0)
+    limit = fixed_iterations if fixed_iterations is not None else max_iter
+    for _ in range(limit):
+        hlast = h
+        a = dict.fromkeys(g, 0.0)
+        h = dict.fromkeys(g, 0.0)
+        for u in hlast:
+            for v in g[u]:
+                w = g[u][v].get(weight, 1.0) if weight else 1.0
+                a[v] += hlast[u] * w
+        for u in g:
+            for v in g[u]:
+                w = g[u][v].get(weight, 1.0) if weight else 1.0
+                h[u] += a[v] * w
+        hm = max(h.values())
+        h = {k: v / hm for k, v in h.items()}
+        am = max(a.values())
+        a = {k: v / am for k, v in a.items()}
+        if fixed_iterations is None:
+            err = sum(abs(h[k] - hlast.get(k, 0.0)) for k in h)
+            if err < tol:
+                break
+    else:
+        if fixed_iterations is None:
+            raise RuntimeError(f"HITS power iteration failed in {max_iter}")
+    if normalized:
+        hs = sum(h.values())
+        h = {k: v / hs for k, v in h.items()}
+        asum = sum(a.values())
+        a = {k: v / asum for k, v in a.items()}
+    return h, a
