@@ -66,6 +66,22 @@ PR_CONV_CHECK_EVERY = 4
 # engine's manifest reports this iteration count at sf0.001 (same
 # 500-doc table).
 PR_CONV_ORACLE_ITERS = 12
+EIGEN_ITERS = 12  # eigenvector-centrality contract depth (oracle unrolls same)
+# h-index core decomposition reaches its fixpoint in 9 rounds on the
+# n=500 pr-graph and 12 rounds at n=5000 (measured; includes the final
+# no-op confirmation round); rounds past the fixpoint are identities,
+# so 16 covers every shipped test scale (sf0.001/0.01/0.1) with slack
+KCORE_ORACLE_ITERS = 16
+# weighted Bellman-Ford from vid 0 reaches its fixpoint in 12 rounds at
+# n=500 and 16 at n=5000 (measured); extra rounds are identities, so
+# 20 covers every shipped test scale with slack
+SSSP_ORACLE_ROUNDS = 20
+LINKPRED_MIN_COMMON = 2
+BETW_SOURCES = (0, 7, 23)
+# max BFS depth from the pivots is 10 at n=500 and 13 at n=5000
+# (measured); levels past the true frontier are EMPTY in the unrolled
+# oracle and contribute nothing, so 15 covers every shipped scale
+BETW_ORACLE_DEPTH = 15
 JACCARD_T = 0.2
 LSH_JACCARD_T = 0.35
 COS_T = 0.35
@@ -751,6 +767,83 @@ def q_hits_web(spark, sf_dir):
     )
 
 
+def q_eigenvector_web(spark, sf_dir):
+    """Eigenvector centrality on the skewed digraph (round-4 link-graph
+    extension, operators/eigenvector.py; no reference analog). Fixed
+    depth so the DuckDB oracle (_eigen_sql) unrolls the identical
+    (A+I)-matvec + L2-normalization double arithmetic."""
+    from nx_neptune_spark.operators.eigenvector import eigenvector_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    res = eigenvector_centrality(g, fixed_iterations=EIGEN_ITERS)
+    return res.select("vid", F.round("centrality", 8).alias("centrality"))
+
+
+def q_core_numbers(spark, sf_dir):
+    """Core decomposition via the distributed h-index iteration
+    (operators/kcore.py, Montresor et al. 2013). The engine runs to its
+    fixpoint; the oracle (_kcore_sql) unrolls KCORE_ORACLE_ITERS rounds
+    — post-fixpoint rounds are identities, so the unroll depth only
+    needs to be >= the measured fixpoint at every shipped scale (see
+    the constant's derivation)."""
+    from nx_neptune_spark.operators.kcore import core_number
+
+    g = _pr_graph(spark, sf_dir)
+    return core_number(g).select("vid", F.col("core").cast("long").alias("core"))
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths from vid 0 (frontier
+    Bellman-Ford, operators/sssp.py) with deterministic integer-valued
+    weights (src+dst)%5+1 — distances are exact small-integer doubles
+    in both engines. The engine runs to the fixpoint (blocked
+    check_every=4); the oracle unrolls SSSP_ORACLE_ROUNDS full
+    relaxations — extra rounds past the fixpoint are identities (see
+    the constant's derivation for the measured depths)."""
+    from nx_neptune_spark.operators.sssp import shortest_path_lengths
+
+    g = _pr_graph(spark, sf_dir)
+    we = g.edges.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    lg = LinkGraph(we, g.vertices, directed=True)
+    return shortest_path_lengths(lg, 0, check_every=4)
+
+
+def q_link_prediction(spark, sf_dir):
+    """Jaccard / Adamic-Adar / CN / preferential-attachment over
+    wedge-generated candidates on the undirected projection of the
+    skewed digraph (operators/linkpred.py), min_common=2 non-adjacent
+    pairs (NetworkX's default non-edge ebunch restricted to the
+    scorable support)."""
+    from nx_neptune_spark.operators.linkpred import link_prediction
+
+    g = _pr_graph(spark, sf_dir)
+    res = link_prediction(g, min_common=LINKPRED_MIN_COMMON)
+    return res.select(
+        "u",
+        "v",
+        F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("adamic_adar", 8).alias("adamic_adar"),
+        "pref_attachment",
+    )
+
+
+def q_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness from sources (0, 7, 23) on
+    the directed pr-graph (operators/betweenness.py), unnormalized —
+    directed+unnormalized means NetworkX's _rescale applies NO scale
+    (not even n/k), so both engines emit raw dependency sums. The
+    oracle unrolls forward sigma levels and backward delta levels to
+    BETW_ORACLE_DEPTH (empty levels past the frontier are no-ops)."""
+    from nx_neptune_spark.operators.betweenness import betweenness_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    res = betweenness_centrality(g, sources=list(BETW_SOURCES), normalized=False)
+    return res.select("vid", F.round("betweenness", 8).alias("betweenness"))
+
+
 def q_pages_pagerank(spark, sf_dir):
     """Flagship north-rule pipeline: synthetic Common-Crawl-style pages
     -> pandas-UDF link extraction -> dense ids -> PageRank -> scores
@@ -784,6 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "pagerank_converged": q_pagerank_converged,
         "hits_web": q_hits_web,
+        "eigenvector_web": q_eigenvector_web,
+        "core_numbers": q_core_numbers,
+        "sssp_weighted": q_sssp_weighted,
+        "link_prediction": q_link_prediction,
+        "betweenness": q_betweenness,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -893,6 +991,174 @@ LEFT JOIN h{k_n} h ON h.vid = v.i
 LEFT JOIN a{k_n} a ON a.vid = v.i"""
     )
     return "".join(parts)
+
+def _eigen_sql(iters: int = None) -> str:
+    """Unrolled eigenvector-centrality oracle (operators/eigenvector.py
+    update rule): per iteration k — r_k = x_{k-1} + A^T x_{k-1}, then
+    x_k = r_k / ||r_k||_2; MATERIALIZED stops DuckDB inlining the
+    unrolled DAG exponentially (same device as _hits_sql)."""
+    k_n = iters if iters is not None else EIGEN_ITERS
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        ",\nx0 AS (SELECT i AS vid, 1.0 / n.c AS s FROM ids v CROSS JOIN n)",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT x.vid, x.s + coalesce(c.con, 0.0) AS s
+  FROM x{k - 1} x LEFT JOIN (
+    SELECT e.dst, sum(x.s) AS con
+    FROM x{k - 1} x JOIN edges e ON e.src = x.vid GROUP BY e.dst
+  ) c ON c.dst = x.vid),
+nm{k} AS (SELECT sqrt(sum(s * s)) AS m FROM r{k}),
+x{k} AS MATERIALIZED (SELECT vid, s / m AS s FROM r{k} CROSS JOIN nm{k})"""
+        )
+    parts.append(
+        f"\nSELECT vid, round(s, 8) AS centrality FROM x{k_n}"
+    )
+    return "".join(parts)
+
+
+def _kcore_sql(rounds: int = None) -> str:
+    """Unrolled h-index core-decomposition oracle (operators/kcore.py):
+    c_0 = deg (neighbor MULTISET: both directions of every directed
+    edge, NetworkX DiGraph degree semantics); per round
+    c_{t+1}(v) = min(c_t(v), H-index of neighbors' c_t). Rounds past
+    the fixpoint (measured: 9 at n=500) are identities."""
+    k_n = rounds if rounds is not None else KCORE_ORACLE_ITERS
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        """,
+nbrs AS (SELECT src AS vid, dst AS nb FROM edges
+         UNION ALL SELECT dst, src FROM edges),
+c0 AS (SELECT v.i AS vid, coalesce(d.dg, 0) AS c FROM ids v
+       LEFT JOIN (SELECT vid, count(*) AS dg FROM nbrs GROUP BY vid) d
+       ON d.vid = v.i)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+h{k} AS (
+  SELECT vid, max(least(rn, nc)) AS h FROM (
+    SELECT nb.vid, c.c AS nc,
+           row_number() OVER (PARTITION BY nb.vid ORDER BY c.c DESC) AS rn
+    FROM nbrs nb JOIN c{k - 1} c ON c.vid = nb.nb
+  ) z GROUP BY vid),
+c{k} AS MATERIALIZED (
+  SELECT c.vid, least(c.c, coalesce(h.h, c.c)) AS c
+  FROM c{k - 1} c LEFT JOIN h{k} h ON h.vid = c.vid)"""
+        )
+    parts.append(f"\nSELECT vid, CAST(c AS BIGINT) AS core FROM c{k_n}")
+    return "".join(parts)
+
+
+def _sssp_sql(rounds: int = None) -> str:
+    """Unrolled Bellman-Ford oracle (operators/sssp.py): full-table
+    relaxation per round over the (src+dst)%5+1-weighted pr-graph from
+    source 0; rounds past the fixpoint (measured: 12 at n=500) are
+    identities. Reached-only output (NetworkX dict parity)."""
+    k_n = rounds if rounds is not None else SSSP_ORACLE_ROUNDS
+    parts = [
+        "WITH " + _WEIGHTED_GRAPH_CTES.strip().rstrip(",").rstrip(),
+        ",\nd0 AS (SELECT CAST(0 AS BIGINT) AS vid, 0.0 AS distance)",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT vid, min(distance) AS distance FROM (
+    SELECT vid, distance FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS vid, d.distance + e.w AS distance
+    FROM d{k - 1} d JOIN wedges e ON e.src = d.vid
+  ) z GROUP BY vid)"""
+        )
+    parts.append(f"\nSELECT vid, distance FROM d{k_n}")
+    return "".join(parts)
+
+
+def _betweenness_sql(depth: int = None) -> str:
+    """Unrolled Brandes oracle (operators/betweenness.py): forward
+    level CTEs carry (s, v, sigma) per pivot with a NOT EXISTS
+    frontier guard; backward level CTEs accumulate
+    delta(v) = Σ_w sigma_v/sigma_w · (1+delta_w) over DAG edges into
+    the next level; bc = Σ_s delta with pivot self-rows excluded.
+    Directed + unnormalized → raw sums (no rescale). Levels past the
+    true BFS frontier are empty and contribute nothing."""
+    k_n = depth if depth is not None else BETW_ORACLE_DEPTH
+    srcs = ", ".join(f"({s})" for s in BETW_SOURCES)
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        f""",
+src AS (SELECT * FROM (VALUES {srcs}) AS t(s)),
+f0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM src),
+fa0 AS (SELECT s, v FROM f0)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f{k - 1} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM fa{k - 1} a WHERE a.s = f.s AND a.v = e.dst)
+  GROUP BY f.s, e.dst),
+fa{k} AS MATERIALIZED (SELECT s, v FROM fa{k - 1} UNION ALL SELECT s, v FROM f{k})"""
+        )
+    parts.append(
+        f""",
+d{k_n} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM f{k_n} WHERE 1 = 0)"""
+    )
+    for lvl in range(k_n - 1, -1, -1):
+        parts.append(
+            f""",
+d{lvl} AS MATERIALIZED (
+  SELECT c.s, c.v, sum(c.sigma / u.sigma * (1.0 + coalesce(du.delta, 0.0))) AS delta
+  FROM f{lvl} c JOIN edges e ON e.src = c.v
+  JOIN f{lvl + 1} u ON u.s = c.s AND u.v = e.dst
+  LEFT JOIN d{lvl + 1} du ON du.s = c.s AND du.v = u.v
+  GROUP BY c.s, c.v)"""
+        )
+    acc = "\nUNION ALL ".join(
+        f"SELECT v, delta FROM d{lvl} WHERE v <> s" for lvl in range(k_n)
+    )
+    parts.append(
+        f""",
+acc AS ({acc}),
+bc AS (SELECT v AS vid, sum(delta) AS b FROM acc GROUP BY v)
+SELECT i AS vid, round(coalesce(b, 0.0), 8) AS betweenness
+FROM ids LEFT JOIN bc ON bc.vid = i"""
+    )
+    return "".join(parts)
+
+
+def _linkpred_sql() -> str:
+    """Link-prediction oracle (operators/linkpred.py semantics): wedge
+    self-join on the undirected simple projection; min_common filter;
+    non-adjacent pairs only; Jaccard / Adamic-Adar / CN / PA."""
+    return f"""
+WITH {_GRAPH_CTES.strip().rstrip(",").rstrip()},
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT src AS vid, count(*) AS dg FROM sym GROUP BY src),
+pairs AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS common,
+         sum(1.0 / ln(d.dg)) AS aa
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON d.vid = a.src
+  GROUP BY a.dst, b.dst
+  HAVING count(*) >= {LINKPRED_MIN_COMMON}
+),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.v)
+)
+SELECT p.u, p.v, p.common,
+       round(p.common / CAST(du.dg + dv.dg - p.common AS DOUBLE), 8) AS jaccard,
+       round(p.aa, 8) AS adamic_adar,
+       CAST(du.dg * dv.dg AS BIGINT) AS pref_attachment
+FROM nonadj p JOIN deg du ON du.vid = p.u JOIN deg dv ON dv.vid = p.v
+"""
+
 
 def _pagerank_sql_ext(
     iters: int,
@@ -1340,6 +1606,11 @@ def oracle_sql() -> dict[str, str]:
         # the PR_CONV_ORACLE_ITERS comment for the derivation
         "pagerank_converged": _pagerank_sql_ext(PR_CONV_ORACLE_ITERS),
         "hits_web": _hits_sql(),
+        "eigenvector_web": _eigen_sql(),
+        "core_numbers": _kcore_sql(),
+        "sssp_weighted": _sssp_sql(),
+        "link_prediction": _linkpred_sql(),
+        "betweenness": _betweenness_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

@@ -359,3 +359,180 @@ def bfs_layers(graph: LinkGraph, sources, **ignored):
     rows = _bl(graph, [vid_of[str(s)] for s in sources]).collect()
     for r in rows:
         yield [name_of[m] for m in r["members"]]
+
+
+def eigenvector_centrality(
+    graph: LinkGraph,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+    nstart: dict | None = None,
+    weight: str | None = None,
+    **ignored,
+) -> dict:
+    """NetworkX-shaped eigenvector centrality (nx signature; no
+    reference analog — SURVEY §2.9 extension class)."""
+    from .operators.eigenvector import eigenvector_centrality as _ec
+
+    name_of = graph.name_of()
+    vid_of = {v: k for k, v in name_of.items()}
+    ns = (
+        {vid_of[str(k)]: v for k, v in nstart.items()} if nstart is not None else None
+    )
+    rows = _ec(graph, max_iter=max_iter, tol=tol, nstart=ns, weight=weight).collect()
+    return {name_of[r["vid"]]: r["centrality"] for r in rows}
+
+
+def core_number(graph: LinkGraph, **ignored) -> dict:
+    """NetworkX-shaped core numbers (nx.core_number signature)."""
+    from .operators.kcore import core_number as _cn
+
+    name_of = graph.name_of()
+    return {name_of[r["vid"]]: r["core"] for r in _cn(graph).collect()}
+
+
+def k_core_nodes(graph: LinkGraph, k: int | None = None) -> set:
+    """Node set of the k-core (None = main core); the subgraph shaping
+    happens in the backend interface (nx.k_core returns a subgraph)."""
+    from .operators.kcore import k_core as _kc
+
+    name_of = graph.name_of()
+    return {name_of[r["vid"]] for r in _kc(graph, k=k).collect()}
+
+
+def single_source_dijkstra_path_length(
+    graph: LinkGraph,
+    source,
+    cutoff: float | None = None,
+    weight: str | None = "weight",
+    **ignored,
+) -> dict:
+    """NetworkX-shaped weighted SSSP dict (reached nodes only)."""
+    from .operators.sssp import shortest_path_lengths as _sp
+
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    rows = _sp(graph, vid_of[str(source)], weight=weight, check_every=4).collect()
+    out = {name_of[r["vid"]]: r["distance"] for r in rows}
+    if cutoff is not None:
+        out = {k: v for k, v in out.items() if v <= cutoff}
+    return out
+
+
+def _linkpred_scores(graph: LinkGraph) -> dict:
+    from .operators.linkpred import link_prediction as _lp
+
+    graph._guard_adapter("link-prediction adapters")
+    rows = _lp(graph, min_common=1).collect()
+    out = {}
+    for r in rows:
+        u, v = r["u"], r["v"]
+        out[(min(u, v), max(u, v))] = r
+    return out
+
+
+def _linkpred_iter(graph: LinkGraph, ebunch, field: str, default=0.0):
+    """Shared ebunch adapter: NetworkX yields (u, v, score) for every
+    requested pair; pairs outside the wedge support score ``default``.
+    ebunch=None = all non-edges (nx default; fixture-scale only — the
+    scalable path is operators.linkpred.link_prediction)."""
+    scores = _linkpred_scores(graph)
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if ebunch is None:
+        import itertools
+
+        vids = sorted(name_of)
+        adj = set()
+        e = graph.edges.select("src", "dst").collect()
+        for r in e:
+            a, b = r["src"], r["dst"]
+            adj.add((min(a, b), max(a, b)))
+        pairs = [
+            p for p in itertools.combinations(vids, 2) if p not in adj
+        ]
+    else:
+        pairs = []
+        for u, v in ebunch:
+            a, b = vid_of[str(u)], vid_of[str(v)]
+            pairs.append((a, b))
+    for a, b in pairs:
+        key = (min(a, b), max(a, b))
+        r = scores.get(key)
+        yield (name_of[a], name_of[b], r[field] if r is not None else default)
+
+
+def jaccard_coefficient(graph: LinkGraph, ebunch=None, **ignored):
+    return _linkpred_iter(graph, ebunch, "jaccard", 0.0)
+
+
+def adamic_adar_index(graph: LinkGraph, ebunch=None, **ignored):
+    return _linkpred_iter(graph, ebunch, "adamic_adar", 0.0)
+
+
+def preferential_attachment(graph: LinkGraph, ebunch=None, **ignored):
+    """PA is degree-only (defined for every pair, not just the wedge
+    support). Degrees come from the undirected simple projection —
+    the same neighbor-set semantics the other link-prediction scores
+    use (NetworkX marks these @not_implemented_for("directed"); we
+    accept digraphs by projecting, like operators.linkpred)."""
+    from pyspark.sql import functions as F
+
+    graph._guard_adapter("preferential_attachment")
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg_rows = sym.groupBy(F.col("src").alias("vid")).count().collect()
+    deg = {r["vid"]: r["count"] for r in deg_rows}
+    deg = {vid: deg.get(vid, 0) for vid in graph.name_of()}
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if ebunch is None:
+        import itertools
+
+        adj = set()
+        for r in graph.edges.select("src", "dst").collect():
+            a, b = r["src"], r["dst"]
+            adj.add((min(a, b), max(a, b)))
+        pairs = [
+            p for p in itertools.combinations(sorted(name_of), 2) if p not in adj
+        ]
+    else:
+        pairs = [(vid_of[str(u)], vid_of[str(v)]) for u, v in ebunch]
+    for a, b in pairs:
+        yield (name_of[a], name_of[b], deg[a] * deg[b])
+
+
+def betweenness_centrality(
+    graph: LinkGraph,
+    k: int | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+    endpoints: bool = False,
+    seed=None,
+    sources: list | None = None,
+    **ignored,
+) -> dict:
+    """NetworkX-shaped betweenness (nx.betweenness_centrality
+    signature). ``seed`` is warn-and-ignored (the reference's pattern
+    for randomized semantics); ``k`` samples the k lowest-id pivots
+    deterministically; ``sources`` (node names) overrides with an
+    explicit pivot list."""
+    from .operators.betweenness import betweenness_centrality as _bc
+
+    if seed is not None:
+        _warn_unsupported("betweenness_centrality", seed=seed)
+    name_of = graph.name_of()
+    vid_of = {v: kk for kk, v in name_of.items()}
+    src_vids: list[int] | None
+    if sources is not None:
+        src_vids = [vid_of[str(s)] for s in sources]
+    elif k is not None:
+        src_vids = sorted(name_of)[: int(k)]
+    else:
+        src_vids = None
+    rows = _bc(
+        graph,
+        sources=src_vids,
+        normalized=normalized,
+        weight=weight,
+        endpoints=endpoints,
+    ).collect()
+    return {name_of[r["vid"]]: r["betweenness"] for r in rows}

@@ -48,6 +48,15 @@ ALGORITHMS = [
     "connected_components",
     "triangles",
     "hits",
+    # round-4 link-graph extensions
+    "betweenness_centrality",
+    "eigenvector_centrality",
+    "core_number",
+    "k_core",
+    "single_source_dijkstra_path_length",
+    "jaccard_coefficient",
+    "adamic_adar_index",
+    "preferential_attachment",
 ]
 
 
@@ -241,6 +250,76 @@ class BackendInterface:
         res = api.triangles(_lg(G), nodes=nodes, **kw)
         back = _back(G)
         return {back[k]: v for k, v in res.items()}
+
+    # -- round-4 link-graph extensions ----------------------------------
+
+    @staticmethod
+    def betweenness_centrality(
+        G, k=None, normalized=True, weight=None, endpoints=False, seed=None, **kw
+    ):
+        back = _back(G)
+        res = api.betweenness_centrality(
+            _lg(G),
+            k=k,
+            normalized=normalized,
+            weight=weight,
+            endpoints=endpoints,
+            seed=seed,
+            **kw,
+        )
+        return {back[k2]: v for k2, v in res.items()}
+
+    @staticmethod
+    def eigenvector_centrality(G, max_iter=100, tol=1e-06, nstart=None, weight=None, **kw):
+        back = _back(G)
+        res = api.eigenvector_centrality(
+            _lg(G), max_iter=max_iter, tol=tol, nstart=nstart, weight=weight, **kw
+        )
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def core_number(G, **kw):
+        back = _back(G)
+        return {back[k]: v for k, v in api.core_number(_lg(G), **kw).items()}
+
+    @staticmethod
+    def k_core(G, k=None, core_number=None, **kw):
+        # nx.k_core returns a subgraph view; honor a precomputed
+        # core_number dict the way networkx does
+        if core_number is not None:
+            if k is None:
+                k = max(core_number.values())
+            keep = [n for n, c in core_number.items() if c >= k]
+            return G.subgraph(keep)
+        back = _back(G)
+        names = api.k_core_nodes(_lg(G), k=k)
+        return G.subgraph([back[m] for m in names])
+
+    @staticmethod
+    def single_source_dijkstra_path_length(G, source, cutoff=None, weight="weight", **kw):
+        back = _back(G)
+        res = api.single_source_dijkstra_path_length(
+            _lg(G), source, cutoff=cutoff, weight=weight, **kw
+        )
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def jaccard_coefficient(G, ebunch=None, **kw):
+        back = _back(G)
+        for u, v, p in api.jaccard_coefficient(_lg(G), ebunch=ebunch, **kw):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def adamic_adar_index(G, ebunch=None, **kw):
+        back = _back(G)
+        for u, v, p in api.adamic_adar_index(_lg(G), ebunch=ebunch, **kw):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def preferential_attachment(G, ebunch=None, **kw):
+        back = _back(G)
+        for u, v, p in api.preferential_attachment(_lg(G), ebunch=ebunch, **kw):
+            yield (back[u], back[v], p)
 
 
 def get_info() -> dict:

@@ -1,0 +1,201 @@
+"""Betweenness centrality: batched multi-source Brandes.
+
+The reference's centrality surface is degree + closeness
+(/root/reference/nx_neptune/algorithms/centrality/); betweenness is the
+classic third member and the standard web-graph "bridge page" measure.
+Semantics follow NetworkX exactly (``nx.betweenness_centrality`` /
+``nx.betweenness_centrality_subset``): Brandes' algorithm (Brandes
+2001, "A faster algorithm for betweenness centrality") — per source s,
+a forward BFS computes shortest-path counts σ_s(v) and levels, a
+backward sweep accumulates dependencies
+
+    δ_s(v) = Σ_{w : (v,w)∈DAG_s} σ_s(v)/σ_s(w) · (1 + δ_s(w))
+
+and bc(v) = Σ_s δ_s(v). Unweighted paths only (NetworkX's default
+``weight=None``); ``sources`` selects pivots — NetworkX's ``k=``
+sampling with a deterministic pivot list instead of a random seed
+(the reference's own pattern is to drop randomized semantics:
+label_propagation.py warns-and-ignores ``seed``). With
+``sources=None`` every vertex is a pivot (exact betweenness — O(V·E),
+loud at scale like closeness's exact mode).
+
+Rescaling matches NetworkX ``_rescale``: normalized →
+1/((n−1)(n−2)); unnormalized undirected → 1/2; sampling with
+|sources|=κ < n multiplies by n/κ.
+
+Plan (the scale story): ALL pivots run in ONE batched state
+DataFrame keyed (s, vid) — each forward level is one
+frontier ⨝ edges join + one (s,dst) partial-agg + one anti-join
+against the visited set; each backward level joins the level's states
+with the next level's (state+δ) through the edge table. Level count =
+BFS diameter from the pivots; per-level frames are persisted and the
+DAG is never materialized edge-by-edge driver-side. Pivot count scales
+the state linearly — κ pivots on 10^12 edges is κ interleaved BFS
+waves sharing every shuffle.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+from .bfs import _traversal_edges
+
+
+def betweenness_centrality(
+    graph: LinkGraph,
+    sources: list[int] | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+    endpoints: bool = False,
+    max_depth: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Return DataFrame(vid long, betweenness double) over ALL vertices
+    (zeros included, NetworkX dict parity).
+
+    ``sources=None`` = exact (every vertex a pivot). ``weight`` and
+    ``endpoints`` are warn-and-ignored when non-default (NetworkX
+    betweenness supports them; this engine ships the unweighted
+    non-endpoint form — the reference's warn-and-ignore pattern for
+    unsupported parameters). ``stats`` receives ``levels`` (forward
+    BFS depth) and ``pivots``.
+    """
+    if weight is not None:
+        warnings.warn(
+            "Parameter `weight` is not supported by betweenness_centrality "
+            "and will be ignored (unweighted shortest paths).",
+            stacklevel=2,
+        )
+    if endpoints:
+        warnings.warn(
+            "Parameter `endpoints` is not supported by betweenness_centrality "
+            "and will be ignored.",
+            stacklevel=2,
+        )
+    spark = graph.spark
+    vertices = graph.vertices.select("vid")
+    n = graph.num_vertices()
+    edges = _traversal_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if sources is not None:
+        pivots = spark.createDataFrame(
+            [(int(s),) for s in sources], "s long"
+        ).distinct()
+        n_pivots = len(set(int(s) for s in sources))
+    else:
+        pivots = vertices.select(F.col("vid").alias("s"))
+        n_pivots = n
+        if n > 200_000:
+            warnings.warn(
+                f"exact betweenness on {n:,} vertices is O(V*E); pass "
+                "sources=[...] to sample pivots",
+                stacklevel=2,
+            )
+
+    # ---- forward: per-level (s, vid, sigma), batched over all pivots
+    levels: list[DataFrame] = []
+    frontier = pivots.select(
+        "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    levels.append(frontier)
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        nxt = (
+            edges.join(frontier, edges.src == frontier.vid)
+            .groupBy("s", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "vid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        depth += 1
+        levels.append(nxt)
+        new_visited = visited.unionByName(nxt.select("s", "vid")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_visited.count()
+        visited.unpersist()
+        visited = new_visited
+        frontier = nxt
+
+    # ---- backward: dependency accumulation, deepest level first
+    bc_parts: list[DataFrame] = []
+    delta: DataFrame | None = None  # (s, vid, delta) at level l+1
+    for lvl in range(depth - 1, -1, -1):
+        upper = levels[lvl + 1].select(
+            F.col("s").alias("us"),
+            F.col("vid").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        if delta is not None:
+            upper = upper.join(
+                delta.select(
+                    F.col("s").alias("us"),
+                    F.col("vid").alias("w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["us", "w"],
+                "left",
+            ).select(
+                "us", "w", "sigma_w", F.coalesce("delta_w", F.lit(0.0)).alias("delta_w")
+            )
+        else:
+            upper = upper.select("us", "w", "sigma_w", F.lit(0.0).alias("delta_w"))
+        cur = levels[lvl]
+        contrib = (
+            cur.join(edges, cur.vid == edges.src)
+            .join(
+                upper,
+                (F.col("us") == cur.s) & (F.col("w") == edges.dst),
+            )
+            .groupBy(cur.s, cur.vid)
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        delta = contrib.localCheckpoint(eager=True)
+        # accumulate: pivots never receive their own dependency
+        bc_parts.append(delta.where(F.col("vid") != F.col("s")).select("vid", "delta"))
+    visited.unpersist()
+    edges.unpersist()
+
+    if bc_parts:
+        acc = bc_parts[0]
+        for p in bc_parts[1:]:
+            acc = acc.unionByName(p)
+        raw = acc.groupBy("vid").agg(F.sum("delta").alias("b"))
+    else:
+        raw = spark.createDataFrame([], "vid long, b double")
+
+    # NetworkX _rescale, verbatim: the n/k sampling factor only applies
+    # when a scale exists (directed unnormalized stays raw even when
+    # sampled — nx.betweenness_centrality behaves identically)
+    scale: float | None
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+    else:
+        scale = None if graph.directed else 0.5
+    if scale is not None and n_pivots < n:
+        scale *= n / n_pivots
+
+    out = vertices.join(raw, "vid", "left").select(
+        "vid",
+        (
+            F.coalesce("b", F.lit(0.0))
+            * F.lit(scale if scale is not None else 1.0)
+        ).alias("betweenness"),
+    )
+    if stats is not None:
+        stats.update(levels=depth, pivots=n_pivots)
+    return out

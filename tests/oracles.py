@@ -197,3 +197,27 @@ def nx_hits(g, max_iter=100, tol=1e-8, nstart=None, normalized=True,
         asum = sum(a.values())
         a = {k: v / asum for k, v in a.items()}
     return h, a
+
+
+def nx_eigenvector_fixed(g, iterations, nstart=None, weight=None):
+    """NetworkX eigenvector_centrality update rule (x' = (x + A^T x) /
+    ||.||_2, successors contribute into their targets) run for EXACTLY
+    ``iterations`` steps -- oracle for the engine's fixed-depth lazy
+    path (nx.eigenvector_centrality itself only has the tol stop)."""
+    import math
+
+    n = g.number_of_nodes()
+    if nstart is None:
+        nstart = dict.fromkeys(g, 1.0)
+    s = float(sum(nstart.values()))
+    x = {k: v / s for k, v in nstart.items()}
+    for _ in range(iterations):
+        xlast = x
+        x = dict(xlast)
+        for u in g:
+            for v in g[u]:
+                w = g[u][v].get(weight, 1.0) if weight else 1.0
+                x[v] += xlast[u] * w
+        norm = math.hypot(*x.values()) or 1.0
+        x = {k: v / norm for k, v in x.items()}
+    return x

@@ -74,3 +74,60 @@ def test_native_path_still_works_after_registration(spark):
     # registration must not hijack backend=None calls
     want = {frozenset(c) for c in nx.connected_components(g)}
     assert want == {frozenset({0, 1}), frozenset({2, 3})}
+
+
+def test_round4_extension_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.core_number(g, backend="spark")
+    assert got == nx.core_number(g)
+    kc = nx.k_core(g, k=2, backend="spark")
+    assert set(kc.nodes) == set(nx.k_core(g, k=2).nodes)
+    ec = nx.eigenvector_centrality(g, backend="spark", tol=1e-10, max_iter=500)
+    want = nx.eigenvector_centrality(g, tol=1e-10, max_iter=500)
+    for k in want:
+        assert math.isclose(ec[k], want[k], rel_tol=0, abs_tol=1e-7)
+
+
+def test_sssp_and_linkpred_dispatch(spark):
+    g = nx.Graph()
+    g.add_weighted_edges_from(
+        [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 2.5)]
+    )
+    got = nx.single_source_dijkstra_path_length(g, 0, backend="spark")
+    assert got == nx.single_source_dijkstra_path_length(g, 0)
+    jac_got = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.jaccard_coefficient(g, backend="spark")
+    )
+    jac_want = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.jaccard_coefficient(g)
+    )
+    assert jac_got == jac_want
+    pa_got = sorted(
+        (tuple(sorted((u, v))), p)
+        for u, v, p in nx.preferential_attachment(g, backend="spark")
+    )
+    pa_want = sorted(
+        (tuple(sorted((u, v))), p) for u, v, p in nx.preferential_attachment(g)
+    )
+    assert pa_got == pa_want
+    ebunch = [(0, 3), (1, 3)]
+    aa_got = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.adamic_adar_index(g, ebunch, backend="spark")
+    )
+    aa_want = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.adamic_adar_index(g, ebunch)
+    )
+    assert aa_got == aa_want
+
+
+def test_betweenness_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.betweenness_centrality(g, backend="spark")
+    want = nx.betweenness_centrality(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9)

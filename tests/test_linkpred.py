@@ -1,0 +1,88 @@
+"""Link-prediction scores vs NetworkX's link_prediction module,
+restricted to the wedge support (pairs with >=1 common neighbor —
+every pair NX could score above zero)."""
+
+import math
+from itertools import combinations
+
+import networkx as nx
+
+from fixtures_graphs import barabasi, two_triangles_bridge
+from nx_neptune_spark.graph import LinkGraph
+from nx_neptune_spark.operators.linkpred import link_prediction
+
+
+def run_spark(spark, g, **kw):
+    lg = LinkGraph.from_networkx(spark, g)
+    names = lg.name_of()
+    out = {}
+    for r in link_prediction(lg, **kw).collect():
+        u, v = sorted((names[r["u"]], names[r["v"]]))
+        out[(u, v)] = r
+    return out
+
+
+def nx_support(g, include_existing=False):
+    """All u<v (by str name) pairs with >=1 common neighbor."""
+    pairs = set()
+    for u, v in combinations(g.nodes, 2):
+        if not include_existing and g.has_edge(u, v):
+            continue
+        if len(list(nx.common_neighbors(g, u, v))) >= 1:
+            pairs.add(tuple(sorted((str(u), str(v)))))
+    return pairs
+
+
+def check_scores(g, got):
+    by_name = {str(n): n for n in g.nodes}
+    ebunch = [(by_name[u], by_name[v]) for u, v in got]
+    for u, v, j in nx.jaccard_coefficient(g, ebunch):
+        r = got[tuple(sorted((str(u), str(v))))]
+        assert math.isclose(r["jaccard"], j, rel_tol=0, abs_tol=1e-12)
+    for u, v, aa in nx.adamic_adar_index(g, ebunch):
+        r = got[tuple(sorted((str(u), str(v))))]
+        assert math.isclose(r["adamic_adar"], aa, rel_tol=0, abs_tol=1e-12)
+    for u, v, pa in nx.preferential_attachment(g, ebunch):
+        r = got[tuple(sorted((str(u), str(v))))]
+        assert r["pref_attachment"] == pa
+    for (u, v), r in got.items():
+        assert r["common"] == len(
+            list(nx.common_neighbors(g, by_name[u], by_name[v]))
+        )
+
+
+def test_linkpred_bridge_fixture(spark):
+    g = two_triangles_bridge()
+    got = run_spark(spark, g)
+    assert set(got) == nx_support(g)
+    check_scores(g, got)
+
+
+def test_linkpred_powerlaw(spark):
+    g = barabasi()
+    got = run_spark(spark, g, min_common=2)
+    want = {
+        p
+        for p in nx_support(g)
+        if len(list(nx.common_neighbors(g, int(p[0]), int(p[1])))) >= 2
+    }
+    assert set(got) == want
+    check_scores(g, got)
+
+
+def test_linkpred_include_existing_edges(spark):
+    g = two_triangles_bridge()
+    got = run_spark(spark, g, include_existing_edges=True)
+    assert set(got) == nx_support(g, include_existing=True)
+    check_scores(g, got)
+
+
+def test_linkpred_hub_cap_drops_hub_centered_wedges(spark):
+    """A star's leaf pairs have only the hub as common neighbor: the
+    cap removes them; triangle pairs survive."""
+    g = nx.star_graph(10)  # hub 0, leaves 1..10
+    g.add_edges_from([(1, 2), (2, 3)])  # leaf-leaf structure
+    got = run_spark(spark, g, max_center_degree=5, include_existing_edges=True)
+    assert ("1", "3") in got  # common neighbor 2 (degree 3 <= cap)
+    assert ("4", "5") not in got  # only common neighbor is the hub (deg 10)
+    assert ("0", "1") in got  # hub as ENDPOINT is fine; center 2 under cap
