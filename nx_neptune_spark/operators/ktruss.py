@@ -1,0 +1,116 @@
+"""k-truss decomposition: iterative edge peeling on triangle support.
+
+The reference has no truss surface (its algorithm set is
+pagerank/centrality/community/traversal); k-truss is the edge-peeling
+companion of k-core (SURVEY §2.9 extension class) and the standard
+dense-subgraph miner on link graphs (Cohen 2008, "Trusses: cohesive
+subgraphs for social network analysis"). Semantics match
+``nx.k_truss``: the maximal subgraph in which every edge participates
+in at least k−2 triangles *of that subgraph*.
+
+Algorithm: repeat { count triangles of the current edge set
+(degree-oriented edge-iterator, the triangle_count machinery —
+operators/triangles.py); drop edges with support < k−2 } until no edge
+drops. Dropping an edge can only lower other edges' support, so the
+peel cascades; the fixpoint is exactly the k-truss.
+
+Plan per round (the scale story): one triangle enumeration over a
+MONOTONICALLY SHRINKING edge set — the O(m^{3/2}) degree-oriented
+bound applies to each round's remaining edges, not the original graph
+— then one explode(3 corners)+partial-agg for per-edge supports and
+one join to filter. Round count = peeling depth (small on real
+graphs: each round removes every edge below threshold at once, the
+"bulk deletion" variant of truss decomposition used by every
+distributed implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+from ..session import adaptive_disabled
+from .triangles import _oriented_edges, triangle_list
+
+
+def k_truss(
+    graph: LinkGraph,
+    k: int,
+    max_rounds: int = 1000,
+    disable_adaptive: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Return DataFrame(u long, v long): the edges of the k-truss,
+    canonical u < v (``nx.k_truss`` edge-set parity; the truss's
+    vertex set is the endpoints). k must be >= 2; k=2 returns every
+    non-self-loop edge (every edge is trivially in >= 0 triangles).
+
+    ``stats`` receives ``rounds`` (peel rounds incl. the final no-op
+    confirmation) and ``converged``.
+    """
+    if k < 2:
+        raise ValueError("k_truss: k must be >= 2 (NetworkX parity)")
+    spark = graph.spark
+    min_support = k - 2
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = edges.count()
+    rounds, converged = 0, False
+    with adaptive_disabled(spark, disable_adaptive):
+        while rounds < max_rounds:
+            rounds += 1
+            if min_support == 0:
+                converged = True
+                break
+            cur = LinkGraph(
+                edges.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+                graph.vertices,
+                directed=False,
+            )
+            # persist the oriented view for the round and release it
+            # after the kept-set is materialized (triangle_count's
+            # cache discipline; the bare triangle_list call would leak
+            # its internal persist across rounds)
+            oriented = _oriented_edges(cur).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                tris = triangle_list(cur, oriented=oriented)
+                support = (
+                    tris.select(F.col("x").alias("u"), F.col("y").alias("v"))
+                    .unionAll(
+                        tris.select(F.col("x").alias("u"), F.col("z").alias("v"))
+                    )
+                    .unionAll(
+                        tris.select(F.col("y").alias("u"), F.col("z").alias("v"))
+                    )
+                    .groupBy("u", "v")
+                    .agg(F.count("*").alias("sup"))
+                )
+                kept = (
+                    edges.join(support, ["u", "v"], "left")
+                    .where(F.coalesce("sup", F.lit(0)) >= min_support)
+                    .select("u", "v")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                n_kept = kept.count()
+            finally:
+                oriented.unpersist()
+            edges.unpersist()
+            edges = kept
+            if n_kept == n_edges:
+                converged = True
+                break
+            n_edges = n_kept
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged)
+    out = edges.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
