@@ -82,6 +82,12 @@ BETW_SOURCES = (0, 7, 23)
 # (measured); levels past the true frontier are EMPTY in the unrolled
 # oracle and contribute nothing, so 15 covers every shipped scale
 BETW_ORACLE_DEPTH = 15
+KTRUSS_K = 4
+# bulk edge-peel fixpoint on the circulant(1,2)+10-clique fixture is 3
+# rounds at BOTH n=500 and n=5000 (scale-invariant: the ring sheds its
+# (i,i+2) chords round 1, the bare ring round 2, round 3 confirms the
+# surviving clique); post-fixpoint rounds are identities, so 5 is margin
+KTRUSS_ORACLE_ROUNDS = 5
 JACCARD_T = 0.2
 LSH_JACCARD_T = 0.35
 COS_T = 0.35
@@ -158,6 +164,27 @@ def _circulant_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
     e2 = ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
     edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
+
+
+def _truss_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Circulant(1,2) ring plus a 10-clique on vids 0..9: under k=4 the
+    ring's (i,i+2) chords (support 1) peel in round 1, the bare ring
+    (support 0) in round 2, and round 3 confirms the surviving clique —
+    a genuine multi-round cascade with a non-empty, scale-invariant
+    fixpoint (the clique's 45 edges; nx.k_truss-verified)."""
+    ids, n = _ids_n(spark, sf_dir)
+    e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    e2 = ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
+    lo = ids.where(F.col("i") < 10)
+    clique = (
+        lo.select(F.col("i").alias("src"))
+        .crossJoin(lo.select(F.col("i").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+    )
+    edges = (
+        e1.unionByName(e2).unionByName(clique).where(F.col("src") != F.col("dst"))
+    )
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
 
 
@@ -792,6 +819,20 @@ def q_core_numbers(spark, sf_dir):
     return core_number(g).select("vid", F.col("core").cast("long").alias("core"))
 
 
+def q_k_truss(spark, sf_dir):
+    """k-truss (k=4) edge set via bulk triangle-support peeling
+    (operators/ktruss.py, Cohen 2008; nx.k_truss edge-set parity).
+    The engine peels to its fixpoint; the oracle (_ktruss_sql) unrolls
+    KTRUSS_ORACLE_ROUNDS rounds — rounds past the measured fixpoint
+    (3 at every shipped scale) are identities."""
+    from nx_neptune_spark.operators.ktruss import k_truss
+
+    g = _truss_graph(spark, sf_dir)
+    return k_truss(g, KTRUSS_K).select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
+    )
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted single-source shortest paths from vid 0 (frontier
     Bellman-Ford, operators/sssp.py) with deterministic integer-valued
@@ -870,6 +911,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Flagship first: the driver's r4 record dropped exactly the LAST
+        # entry of this dict; ordering the end-to-end pipeline first
+        # guarantees any cap/timeout tail can never drop it (VERDICT r4 #1).
+        "pages_pagerank": q_pages_pagerank,
         "pagerank_web": q_pagerank_web,
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
@@ -879,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_web": q_hits_web,
         "eigenvector_web": q_eigenvector_web,
         "core_numbers": q_core_numbers,
+        "k_truss": q_k_truss,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -920,7 +966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "nation_revenue": q_nation_revenue,
         "top_users_by_value": q_top_users_by_value,
-        "pages_pagerank": q_pages_pagerank,
     }
 
 
@@ -1050,6 +1095,50 @@ c{k} AS MATERIALIZED (
   FROM c{k - 1} c LEFT JOIN h{k} h ON h.vid = c.vid)"""
         )
     parts.append(f"\nSELECT vid, CAST(c AS BIGINT) AS core FROM c{k_n}")
+    return "".join(parts)
+
+
+def _ktruss_sql(rounds: int = None) -> str:
+    """Unrolled bulk edge-peel oracle (operators/ktruss.py): e0 = the
+    canonical (u<v) edge set of the circulant(1,2)+10-clique fixture;
+    per round, enumerate triangles (a<b<c) with a three-way self-join,
+    count per-edge support over the three exploded corners, and keep
+    edges with support >= KTRUSS_K-2. Rounds past the fixpoint are
+    identities. MATERIALIZED stops DuckDB inlining the unrolled DAG
+    exponentially (same device as _kcore_sql)."""
+    k_n = rounds if rounds is not None else KTRUSS_ORACLE_ROUNDS
+    min_sup = KTRUSS_K - 2
+    parts = [
+        """WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+  UNION ALL SELECT a.i, b.i FROM ids a JOIN ids b ON a.i < 10 AND b.i < 10 AND a.i < b.i
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst)"""
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+t{k} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{k - 1} e1 JOIN e{k - 1} e2 ON e2.u = e1.v
+  JOIN e{k - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+s{k} AS (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t{k}
+    UNION ALL SELECT a, c FROM t{k}
+    UNION ALL SELECT b, c FROM t{k}) z GROUP BY u, v),
+e{k} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{k - 1} e LEFT JOIN s{k} s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.sup, 0) >= {min_sup})"""
+        )
+    parts.append(
+        f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM e{k_n}"
+    )
     return "".join(parts)
 
 
@@ -1581,6 +1670,8 @@ WHERE dp / (na.nv * nb.nv) >= {COS_T}
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Keep key order aligned with queries(): flagship first.
+        "pages_pagerank": _pages_pagerank_sql(),
         "pagerank_web": _pagerank_sql(),
         "pagerank_weighted": _pagerank_sql_ext(
             PR_VARIANT_ITERS,
@@ -1608,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_web": _hits_sql(),
         "eigenvector_web": _eigen_sql(),
         "core_numbers": _kcore_sql(),
+        "k_truss": _ktruss_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "betweenness": _betweenness_sql(),
@@ -1731,7 +1823,6 @@ FROM s GROUP BY user_id, sid"""
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
-        "pages_pagerank": _pages_pagerank_sql(),
         "top_users_by_value": (
             "SELECT user_id, total, n, rnk FROM ("
             " SELECT user_id,"

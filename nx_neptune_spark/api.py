@@ -399,6 +399,18 @@ def k_core_nodes(graph: LinkGraph, k: int | None = None) -> set:
     return {name_of[r["vid"]] for r in _kc(graph, k=k).collect()}
 
 
+def k_truss_edges(graph: LinkGraph, k: int) -> set:
+    """Truss edge set as frozenset name pairs; the subgraph shaping
+    happens in the backend interface (nx.k_truss returns a graph)."""
+    from .operators.ktruss import k_truss as _kt
+
+    name_of = graph.name_of()
+    return {
+        frozenset((name_of[r["u"]], name_of[r["v"]]))
+        for r in _kt(graph, k).collect()
+    }
+
+
 def single_source_dijkstra_path_length(
     graph: LinkGraph,
     source,
@@ -421,7 +433,11 @@ def _linkpred_scores(graph: LinkGraph) -> dict:
     from .operators.linkpred import link_prediction as _lp
 
     graph._guard_adapter("link-prediction adapters")
-    rows = _lp(graph, min_common=1).collect()
+    # include_existing_edges: an explicit ebunch may name adjacent
+    # pairs, and NetworkX scores those too (the scores are functions of
+    # neighbor sets, not of adjacency); ebunch=None filters to
+    # non-edges itself, so the extra rows are never looked up there
+    rows = _lp(graph, min_common=1, include_existing_edges=True).collect()
     out = {}
     for r in rows:
         u, v = r["u"], r["v"]
@@ -429,11 +445,105 @@ def _linkpred_scores(graph: LinkGraph) -> dict:
     return out
 
 
+# explicit ebunches at or above this size skip the collected-dict path
+# and score through a DataFrame join instead (VERDICT r4 item 8)
+_EBUNCH_DISTRIBUTED_MIN = 10_000
+
+
+def _linkpred_ebunch_distributed(graph: LinkGraph, pairs: list, field: str, default):
+    """Distributed scorer for large explicit ebunches: the ebunch
+    becomes a DataFrame joined against the link_prediction pair table
+    (names resolved by joining the vertex dictionary, not by collected
+    dicts), so only the |ebunch| result rows ever reach the driver and
+    none of the fixture-scale ``_guard_adapter`` collects run. Yields
+    in ebunch order (nx generator parity) via an index sort.
+    ``field="pref_attachment_full"`` scores deg(u)·deg(v) for EVERY
+    pair (PA is defined off the wedge support)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from .operators.linkpred import link_prediction as _lp
+
+    spark = graph.spark
+    eb = spark.createDataFrame(
+        [(i, str(u), str(v)) for i, (u, v) in enumerate(pairs)],
+        "idx long, un string, vn string",
+    )
+    vs = graph.vertices.select("vid", "name")
+    keyed = (
+        eb.join(vs.select(F.col("name").alias("un"), F.col("vid").alias("a")), "un")
+        .join(vs.select(F.col("name").alias("vn"), F.col("vid").alias("b")), "vn")
+        .select(
+            "idx",
+            "un",
+            "vn",
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_resolved = keyed.count()
+    if n_resolved != len(pairs):
+        keyed.unpersist()
+        raise KeyError(
+            f"ebunch contains {len(pairs) - n_resolved} pair(s) naming "
+            "nodes not in the graph"
+        )
+    if field == "pref_attachment_full":
+        e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+        scored = (
+            keyed.join(
+                deg.select(F.col("vid").alias("u"), F.col("deg").alias("du")),
+                "u",
+                "left",
+            )
+            .join(
+                deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv")),
+                "v",
+                "left",
+            )
+            .select(
+                "idx",
+                "un",
+                "vn",
+                (
+                    F.coalesce("du", F.lit(0)) * F.coalesce("dv", F.lit(0))
+                ).alias("score"),
+            )
+        )
+    else:
+        lp = _lp(graph, min_common=1, include_existing_edges=True).select(
+            "u", "v", F.col(field).alias("score")
+        )
+        scored = keyed.join(lp, ["u", "v"], "left").select(
+            "idx",
+            "un",
+            "vn",
+            F.coalesce("score", F.lit(float(default))).alias("score"),
+        )
+    try:
+        for r in scored.orderBy("idx").toLocalIterator():
+            yield (r["un"], r["vn"], r["score"])
+    finally:
+        keyed.unpersist()
+
+
 def _linkpred_iter(graph: LinkGraph, ebunch, field: str, default=0.0):
     """Shared ebunch adapter: NetworkX yields (u, v, score) for every
     requested pair; pairs outside the wedge support score ``default``.
     ebunch=None = all non-edges (nx default; fixture-scale only — the
-    scalable path is operators.linkpred.link_prediction)."""
+    scalable path is operators.linkpred.link_prediction). Explicit
+    ebunches of >= _EBUNCH_DISTRIBUTED_MIN pairs route through the
+    DataFrame-join scorer and stay distributed."""
+    if ebunch is not None:
+        ebunch = list(ebunch)
+        if len(ebunch) >= _EBUNCH_DISTRIBUTED_MIN:
+            yield from _linkpred_ebunch_distributed(graph, ebunch, field, default)
+            return
     scores = _linkpred_scores(graph)
     vid_of, name_of = graph.vid_of(), graph.name_of()
     if ebunch is None:
@@ -475,6 +585,13 @@ def preferential_attachment(graph: LinkGraph, ebunch=None, **ignored):
     accept digraphs by projecting, like operators.linkpred)."""
     from pyspark.sql import functions as F
 
+    if ebunch is not None:
+        ebunch = list(ebunch)
+        if len(ebunch) >= _EBUNCH_DISTRIBUTED_MIN:
+            yield from _linkpred_ebunch_distributed(
+                graph, ebunch, "pref_attachment_full", 0
+            )
+            return
     graph._guard_adapter("preferential_attachment")
     e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = e.unionAll(

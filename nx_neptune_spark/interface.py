@@ -53,6 +53,7 @@ ALGORITHMS = [
     "eigenvector_centrality",
     "core_number",
     "k_core",
+    "k_truss",
     "single_source_dijkstra_path_length",
     "jaccard_coefficient",
     "adamic_adar_index",
@@ -294,6 +295,36 @@ class BackendInterface:
         back = _back(G)
         names = api.k_core_nodes(_lg(G), k=k)
         return G.subgraph([back[m] for m in names])
+
+    @staticmethod
+    def k_truss(G, k, **kw):
+        # nx.k_truss returns a pruned COPY (truss edges only, isolated
+        # nodes dropped each peel round) and raises on self-loops /
+        # directed input; mirror both before dispatching the edge-set
+        # computation to operators/ktruss.py
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "k_truss is not implemented for directed graphs"
+            )
+        if nx.number_of_selfloops(G) > 0:
+            raise nx.NetworkXNotImplemented(
+                "Input graph has self loops which is not permitted; "
+                "Consider using G.remove_edges_from(nx.selfloop_edges(G))."
+            )
+        back = _back(G)
+        keep = {
+            frozenset((back[a], back[b]))
+            for pair in api.k_truss_edges(_lg(G), k=k)
+            for a, b in [tuple(pair)]
+        }
+        H = G.copy()
+        H.remove_edges_from(
+            [(u, v) for u, v in H.edges if frozenset((u, v)) not in keep]
+        )
+        H.remove_nodes_from([n for n in list(H) if H.degree(n) == 0])
+        return H
 
     @staticmethod
     def single_source_dijkstra_path_length(G, source, cutoff=None, weight="weight", **kw):

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.checkpoint import release_local_checkpoint
 from .bfs import _traversal_edges
 
 
@@ -97,13 +98,21 @@ def betweenness_centrality(
                 stacklevel=2,
             )
 
-    # ---- forward: per-level (s, vid, sigma), batched over all pivots
+    # ---- forward: per-level (s, vid, sigma), batched over all pivots.
+    # Memory accounting: every reached (s, v) pair lives in EXACTLY one
+    # level, so the retained forward state is Σ level sizes = |visited|
+    # ≈ pivots × reached-vertices rows — held twice (levels + the
+    # visited anti-join table) until visited is released right after
+    # this loop, then shrinking as the backward sweep frees each
+    # consumed level's checkpoint blocks.
     levels: list[DataFrame] = []
+    level_rows: list[int] = []
     frontier = pivots.select(
         "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
     visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
     levels.append(frontier)
+    level_rows.append(n_pivots)
     depth = 0
     while True:
         if max_depth is not None and depth >= max_depth:
@@ -115,10 +124,13 @@ def betweenness_centrality(
             .join(visited, ["s", "vid"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_rows = nxt.count()
+        if n_rows == 0:
+            release_local_checkpoint(nxt)
             break
         depth += 1
         levels.append(nxt)
+        level_rows.append(n_rows)
         new_visited = visited.unionByName(nxt.select("s", "vid")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -126,6 +138,9 @@ def betweenness_centrality(
         visited.unpersist()
         visited = new_visited
         frontier = nxt
+    # the anti-join table is forward-only state: release it before the
+    # backward sweep instead of after (halves the sweep's retained rows)
+    visited.unpersist()
 
     # ---- backward: dependency accumulation, deepest level first
     bc_parts: list[DataFrame] = []
@@ -167,7 +182,14 @@ def betweenness_centrality(
         delta = contrib.localCheckpoint(eager=True)
         # accumulate: pivots never receive their own dependency
         bc_parts.append(delta.where(F.col("vid") != F.col("s")).select("vid", "delta"))
-    visited.unpersist()
+        # levels[lvl+1] was consumed (as `upper`) by the eager delta
+        # materialization above and is never referenced again — free
+        # its checkpoint blocks now instead of at context shutdown
+        release_local_checkpoint(levels[lvl + 1])
+        levels[lvl + 1] = None
+    for rest in levels:  # level 0, plus everything when depth == 0
+        if rest is not None:
+            release_local_checkpoint(rest)
     edges.unpersist()
 
     if bc_parts:
@@ -197,5 +219,13 @@ def betweenness_centrality(
         ).alias("betweenness"),
     )
     if stats is not None:
-        stats.update(levels=depth, pivots=n_pivots)
+        stats.update(
+            levels=depth,
+            pivots=n_pivots,
+            # peak retained forward state: Σ level sizes (each reached
+            # (s,v) pair counted once) — visited held the same rows
+            # again until its post-forward release
+            peak_level_rows=max(level_rows),
+            state_rows=sum(level_rows),
+        )
     return out

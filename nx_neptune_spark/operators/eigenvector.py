@@ -109,11 +109,20 @@ def _eigen_impl(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("s") * F.col("w")).alias("c"))
         )
-        raw = x.join(contrib, "vid", "left").select(
-            "vid", (F.col("s") + F.coalesce("c", F.lit(0.0))).alias("r")
+        # raw is consumed TWICE (the norm aggregate and the normalized
+        # output). Cut its lineage with a LAZY localCheckpoint so one
+        # materialization at job time serves both consumers — without
+        # the cut every iteration executes the matvec join+agg twice
+        # (PageRank's contribs device, pagerank.py step()). Broadcast
+        # the 1-row norm so the fold-back is a broadcast nested loop,
+        # not a cartesian against the full state.
+        raw = (
+            x.join(contrib, "vid", "left")
+            .select("vid", (F.col("s") + F.coalesce("c", F.lit(0.0))).alias("r"))
+            .localCheckpoint(eager=False)
         )
         norm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("m"))
-        return raw.crossJoin(norm).select(
+        return raw.crossJoin(F.broadcast(norm)).select(
             "vid",
             (F.col("r") / F.when(F.col("m") == 0.0, 1.0).otherwise(F.col("m"))).alias(
                 "s"

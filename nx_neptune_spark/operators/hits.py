@@ -108,10 +108,17 @@ def _hits_impl(
         sparse over out-degree>0 vertices (absent = 0, which the next
         gather treats correctly by omission); zero-fill happens once at
         output time."""
+        # a_raw is consumed THREE times (the h-gather join, its own max
+        # aggregate, the normalized output) and h_raw twice; LAZY
+        # localCheckpoints make one job-time materialization serve all
+        # consumers instead of re-executing the matvec join+agg per
+        # consumer (PageRank's contribs device). The 1-row max rows are
+        # broadcast so each fold-back is a broadcast nested loop.
         a_raw = (
             links.join(_hinted(h, join_hint), links.src == h.vid)
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("s") * F.col("w")).alias("raw"))
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             links.join(
@@ -119,13 +126,14 @@ def _hits_impl(
             )
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum(F.col("raw") * F.col("w")).alias("raw2"))
+            .localCheckpoint(eager=False)
         )
         a_k = (
-            a_raw.crossJoin(a_raw.agg(F.max("raw").alias("mx")))
+            a_raw.crossJoin(F.broadcast(a_raw.agg(F.max("raw").alias("mx"))))
             .select("vid", (F.col("raw") / F.col("mx")).alias("s"))
         )
         h_k = (
-            h_raw.crossJoin(h_raw.agg(F.max("raw2").alias("mx")))
+            h_raw.crossJoin(F.broadcast(h_raw.agg(F.max("raw2").alias("mx"))))
             .select("vid", (F.col("raw2") / F.col("mx")).alias("s"))
         )
         return a_k, h_k
@@ -183,10 +191,10 @@ def _hits_impl(
             )
 
     if normalized:
-        h = h.crossJoin(h.agg(F.sum("s").alias("t"))).select(
+        h = h.crossJoin(F.broadcast(h.agg(F.sum("s").alias("t")))).select(
             "vid", (F.col("s") / F.col("t")).alias("s")
         )
-        a = a.crossJoin(a.agg(F.sum("s").alias("t"))).select(
+        a = a.crossJoin(F.broadcast(a.agg(F.sum("s").alias("t")))).select(
             "vid", (F.col("s") / F.col("t")).alias("s")
         )
     out = (

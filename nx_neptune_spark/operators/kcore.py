@@ -31,11 +31,15 @@ Semantics parity with ``nx.core_number``:
     ``drop_self_loops=True`` strips them first.
 
 Plan per round (the scale story): one key-partitioned shuffle-hash join
-(neighbor table ⨝ current cores on the neighbor key) feeding one
-partitioned window sort computing the h-index — two exchanges per
-round over a monotonically *shrinking* active set (vertices whose core
-estimate is still moving, tracked exactly: a vertex's estimate can only
-drop after a neighbor's dropped, so the join is restricted to
+(neighbor table ⨝ current cores on the neighbor key), one map-side-
+combined (vid, neighbor-core) count aggregate, and one vid-partitioned
+window over the GROUPED counts computing the h-index — so per-vid
+window work is bounded by the number of distinct neighbor core values
+(<= max-core), never by degree: a super-hub's 10^8 neighbor rows
+collapse in the partial aggregate before any per-vid sort. The round
+operates over a monotonically *shrinking* active set (vertices whose
+core estimate is still moving, tracked exactly: a vertex's estimate can
+only drop after a neighbor's dropped, so the join is restricted to
 neighbors-of-last-round's-changed). Round count is bounded by the
 longest strictly-decreasing estimate chain; on power-law web graphs
 this is tens of rounds (Montresor §V measures <50 on billion-edge
@@ -119,7 +123,17 @@ def core_number(
         already_done = bool(manifest.get("complete"))
 
     iterations, converged = start_iter, already_done
-    w = Window.partitionBy("vid").orderBy(F.desc("nc"), "nb")
+    # h-index window over PRE-AGGREGATED (vid, nc) counts, not raw
+    # neighbor rows: rows per vid are bounded by the number of DISTINCT
+    # neighbor core values (<= max-core), not by degree — a 10^8-degree
+    # hub's h-index sort would otherwise serialize in ONE task. The
+    # (vid, nc) partial aggregate combines map-side, so the exchange
+    # feeding this window carries ~|active|·distinct-values rows.
+    w = (
+        Window.partitionBy("vid")
+        .orderBy(F.desc("nc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # active-set restriction: an estimate can only drop after a
     # NEIGHBOR's estimate dropped, so from round 1 on the h-index is
     # recomputed only for neighbors-of-last-round's-changed; everyone
@@ -139,13 +153,19 @@ def core_number(
         nb_vals = work.join(
             cores.select(F.col("vid").alias("nb"), F.col("core").alias("nc")), "nb"
         ).select("vid", "nb", "nc")
-        # h-index: with neighbor values sorted desc and 1-based rank rn,
-        # H = max(min(rn, value)) — a single partitioned sort, no
-        # collect_list arrays (hub rows never materialize as one value)
+        # h-index over grouped counts: with distinct neighbor values nc
+        # sorted desc and c_ge = cumulative count of neighbor values
+        # >= nc, H = max over nc of min(c_ge, nc) (the classic
+        # "#values >= h reaches h" formulation evaluated only at the
+        # distinct values, which is where the max is attained). The
+        # final groupBy(vid) reuses the window's vid partitioning — no
+        # extra exchange.
         h = (
-            nb_vals.withColumn("rn", F.row_number().over(w))
+            nb_vals.groupBy("vid", "nc")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("c_ge", F.sum("cnt").over(w))
             .groupBy("vid")
-            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc"))).alias("h"))
+            .agg(F.max(F.least(F.col("c_ge"), F.col("nc"))).alias("h"))
         )
         # coalesce(h, core): vertices outside the recomputed set keep
         # their value; round-0 isolated vertices have core=deg=0 already
@@ -198,7 +218,7 @@ def k_core(
     """
     cores = core_numbers if core_numbers is not None else core_number(graph, **kwargs)
     if k is None:
-        return cores.crossJoin(cores.agg(F.max("core").alias("mx"))).where(
+        return cores.crossJoin(F.broadcast(cores.agg(F.max("core").alias("mx")))).where(
             F.col("core") == F.col("mx")
         ).select("vid", "core")
     return cores.where(F.col("core") >= F.lit(int(k)))

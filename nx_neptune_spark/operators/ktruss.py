@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.checkpoint import CheckpointManager
 from ..session import adaptive_disabled
 from .triangles import _oriented_edges, triangle_list
 
@@ -40,6 +41,7 @@ def k_truss(
     k: int,
     max_rounds: int = 1000,
     disable_adaptive: bool = True,
+    checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Return DataFrame(u long, v long): the edges of the k-truss,
@@ -54,14 +56,21 @@ def k_truss(
         raise ValueError("k_truss: k must be >= 2 (NetworkX parity)")
     spark = graph.spark
     min_support = k - 2
-    edges = (
+    cp = checkpoint or CheckpointManager(spark, algorithm="k_truss")
+    # Per-round lineage truncation is load-bearing, not hygiene: each
+    # round's plan references the previous round's edge set ~5x
+    # (oriented view, adjacency, two triangle corners, the keep-join),
+    # so without a cut Catalyst re-analysis grows ~5^rounds — measured
+    # 4s for round 1 and >400s for round 2 on a 1k-edge fixture before
+    # the cut. truncate() roots each round at the materialized blocks
+    # (same device as core_number/sssp).
+    edges = cp.truncate(
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()
     rounds, converged = 0, False
@@ -94,16 +103,14 @@ def k_truss(
                     .groupBy("u", "v")
                     .agg(F.count("*").alias("sup"))
                 )
-                kept = (
+                kept = cp.truncate(
                     edges.join(support, ["u", "v"], "left")
                     .where(F.coalesce("sup", F.lit(0)) >= min_support)
                     .select("u", "v")
-                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
                 n_kept = kept.count()
             finally:
                 oriented.unpersist()
-            edges.unpersist()
             edges = kept
             if n_kept == n_edges:
                 converged = True
@@ -111,6 +118,4 @@ def k_truss(
             n_edges = n_kept
     if stats is not None:
         stats.update(rounds=rounds, converged=converged)
-    out = edges.localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    return edges

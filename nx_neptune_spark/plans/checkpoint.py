@@ -37,6 +37,24 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "manifest.json"
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort free of a localCheckpoint's cached RDD blocks.
+
+    ``Dataset.unpersist()`` cannot release them (the blocks back a
+    lineage-truncated RDD, not a CacheManager entry), so this reaches
+    the checkpointed RDD through the analyzed LogicalRDD plan. After a
+    successful release the DataFrame is UNUSABLE (its lineage ends at
+    the freed blocks) — call it only when no later job references the
+    DataFrame or any lazy plan derived from it. Failures are swallowed:
+    worst case the blocks stay cached until context shutdown, which is
+    exactly the pre-release behavior.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @dataclass
 class IterationMetrics:
     """Convergence + shuffle metrics captured per iteration."""

@@ -88,6 +88,17 @@ def test_round4_extension_dispatch(spark):
         assert math.isclose(ec[k], want[k], rel_tol=0, abs_tol=1e-7)
 
 
+def test_k_truss_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.k_truss(g, 3, backend="spark")
+    want = nx.k_truss(g, 3)
+    assert set(got.nodes) == set(want.nodes)
+    assert {frozenset(e) for e in got.edges} == {frozenset(e) for e in want.edges}
+    # directed input must refuse like networkx
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.k_truss(nx.DiGraph([(0, 1), (1, 2), (2, 0)]), 3, backend="spark")
+
+
 def test_sssp_and_linkpred_dispatch(spark):
     g = nx.Graph()
     g.add_weighted_edges_from(

@@ -66,6 +66,27 @@ def test_k_core_filters_and_main_core(spark):
     assert got_main == {str(n) for n in nx.k_core(g).nodes}
 
 
+def test_core_number_hub_skew(spark):
+    """One vertex carrying ~10% of all edges (the 100x-scale skew case
+    the grouped-count h-index bounds): per-vid window rows must be
+    distinct neighbor core VALUES, not degree, so the hub is exact."""
+    g = nx.Graph()
+    # hub 0 wired to 60 spokes; a 3-core clique block among 10..21;
+    # chains hanging off spokes so core values are diverse
+    for i in range(1, 61):
+        g.add_edge(0, i)
+    for a in range(10, 22):
+        for b in range(a + 1, 22):
+            g.add_edge(a, b)
+    for i in range(30, 40):
+        g.add_edge(i, i + 100)
+        g.add_edge(i + 100, i + 200)
+    stats: dict = {}
+    got = run_spark(spark, g, stats=stats)
+    assert stats["converged"]
+    assert got == {str(k): v for k, v in nx.core_number(g).items()}
+
+
 def test_core_number_resume_from_checkpoint(spark, tmp_path):
     """Kill after round 0, resume, and land on the same fixpoint."""
     from nx_neptune_spark.plans.checkpoint import CheckpointManager

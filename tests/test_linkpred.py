@@ -86,3 +86,39 @@ def test_linkpred_hub_cap_drops_hub_centered_wedges(spark):
     assert ("1", "3") in got  # common neighbor 2 (degree 3 <= cap)
     assert ("4", "5") not in got  # only common neighbor is the hub (deg 10)
     assert ("0", "1") in got  # hub as ENDPOINT is fine; center 2 under cap
+
+
+def test_large_ebunch_stays_distributed(spark):
+    """A >=10^4-pair explicit ebunch must route through the
+    DataFrame-join scorer: max_adapter_rows=0 makes every guarded
+    driver collect raise, so this passes only if the distributed path
+    touches none of them (VERDICT r4 item 8). Scores still match
+    NetworkX pair-for-pair, in ebunch order."""
+    import itertools
+    import random
+
+    from nx_neptune_spark import api
+
+    g = barabasi()
+    lg = LinkGraph.from_networkx(spark, g)
+    lg.max_adapter_rows = 0  # any name_of()/vid_of()/scores collect raises
+    nodes = sorted(g.nodes)
+    all_pairs = list(itertools.combinations(nodes, 2))
+    rng = random.Random(7)
+    ebunch = [all_pairs[rng.randrange(len(all_pairs))] for _ in range(100_000)]
+
+    got = list(api.jaccard_coefficient(lg, ebunch))
+    assert len(got) == len(ebunch)
+    want = list(nx.jaccard_coefficient(g, ebunch))
+    # spot-check a deterministic sample pair-for-pair, order preserved
+    for i in range(0, len(ebunch), 9973):
+        (gu, gv, gs), (wu, wv, ws) = got[i], want[i]
+        assert {gu, gv} == {str(wu), str(wv)}
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12)
+
+    pa_got = list(api.preferential_attachment(lg, ebunch[:10_000]))
+    pa_want = list(nx.preferential_attachment(g, ebunch[:10_000]))
+    for i in range(0, 10_000, 997):
+        (gu, gv, gs), (wu, wv, ws) = pa_got[i], pa_want[i]
+        assert {gu, gv} == {str(wu), str(wv)}
+        assert gs == ws
