@@ -356,6 +356,29 @@ def q_louvain_bridged(spark, sf_dir):
     return louvain_communities(lg, max_levels=3, max_iterations=8)
 
 
+def q_modularity(spark, sf_dir):
+    """Per-community modularity contributions (operators/modularity.py,
+    Newman 2004; round-5 community-quality extension — the reference
+    detects communities but cannot score them) of the i-(i%10) block
+    partition over the circulant graph. Q = sum(contribution); the
+    per-community rows give the oracle a distributed-correctness check
+    per key, not just one scalar. All inputs are exact small-integer
+    doubles, so the IEEE divisions match DuckDB bit-for-bit."""
+    from nx_neptune_spark.operators.modularity import modularity_stats
+
+    g = _circulant_graph(spark, sf_dir)
+    com = g.vertices.select(
+        "vid", (F.col("vid") - F.col("vid") % 10).alias("community")
+    )
+    res = modularity_stats(g, com)
+    return res.select(
+        "community",
+        F.round("in_w", 8).alias("in_w"),
+        F.round("tot_w", 8).alias("tot_w"),
+        F.round("contribution", 12).alias("contribution"),
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     from nx_neptune_spark.operators.triangles import triangle_count
 
@@ -933,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_weighted": q_label_propagation_weighted,
         "louvain": q_louvain,
         "louvain_bridged": q_louvain_bridged,
+        "modularity": q_modularity,
         "triangle_count": q_triangle_count,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -1374,6 +1398,39 @@ lab{k} AS (
     return "".join(parts)
 
 
+def _modularity_sql() -> str:
+    """Per-community Newman modularity over the circulant graph's
+    i-(i%10) block partition (operators/modularity.py): Σ_in = both
+    directions of internal edges, Σ_tot = degree sums, contribution =
+    in/(2m) − (tot/(2m))² — all exact-integer-valued doubles."""
+    return """
+WITH
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+circ AS (
+  SELECT i AS src, (i + 1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM circ WHERE src <> dst
+    UNION ALL SELECT dst, src FROM circ WHERE src <> dst) z
+),
+com AS (SELECT i AS vid, i - (i % 10) AS c FROM ids),
+tagged AS (
+  SELECT cs.c AS community,
+         CASE WHEN cs.c = cd.c THEN 1.0 ELSE 0.0 END AS iw
+  FROM sym e JOIN com cs ON cs.vid = e.src JOIN com cd ON cd.vid = e.dst
+),
+per_c AS (SELECT community, sum(iw) AS in_w, CAST(count(*) AS DOUBLE) AS tot_w
+          FROM tagged GROUP BY community),
+m2 AS (SELECT CAST(count(*) AS DOUBLE) AS two_m FROM sym)
+SELECT community, round(in_w, 8) AS in_w, round(tot_w, 8) AS tot_w,
+       round(in_w / two_m - (tot_w / two_m) * (tot_w / two_m), 12) AS contribution
+FROM per_c CROSS JOIN m2
+"""
+
+
 def _triangles_sql() -> str:
     return """
 WITH
@@ -1714,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS vid, CAST(doc_id - doc_id % 5 AS BIGINT) AS community"
             f" FROM documents WHERE doc_id < {LOUVAIN_BRIDGE_N}"
         ),
+        "modularity": _modularity_sql(),
         "triangle_count": _triangles_sql(),
         "degree_centrality": _degree_sql(),
         "in_degree_centrality": _degree_sql("SELECT dst AS vid FROM edges"),

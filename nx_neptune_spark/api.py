@@ -305,6 +305,40 @@ def louvain_communities(
     return list(comms.values())
 
 
+def modularity(
+    graph: LinkGraph,
+    communities,
+    weight: str | None = "weight",
+    resolution: float = 1.0,
+    **ignored,
+) -> float:
+    """NetworkX-shaped modularity: ``communities`` is an iterable of
+    node collections forming a partition of the graph (non-partitions
+    raise, nx.community.modularity parity); returns the scalar Q from
+    the distributed operator (operators/modularity.py)."""
+    from .operators.modularity import modularity as _mod
+
+    graph._guard_adapter("modularity")
+    vid_of = graph.vid_of()
+    comms = [set(c) for c in communities]
+    seen: set = set()
+    for c in comms:
+        for node in c:
+            key = str(node)
+            if key not in vid_of or key in seen:
+                raise ValueError(
+                    f"`communities` is not a partition of G ({node!r})"
+                )
+            seen.add(key)
+    if len(seen) != len(vid_of):
+        raise ValueError("`communities` is not a partition of G (nodes missing)")
+    rows = [
+        (vid_of[str(node)], ci) for ci, c in enumerate(comms) for node in c
+    ]
+    cdf = graph.spark.createDataFrame(rows, "vid long, community long")
+    return _mod(graph, cdf, weight=weight, resolution=resolution)
+
+
 def connected_components(graph: LinkGraph) -> Iterable[set]:
     """Generator of sets, NetworkX shape."""
     from .operators.components import connected_components as _cc

@@ -44,6 +44,7 @@ ALGORITHMS = [
     "asyn_lpa_communities",
     "fast_label_propagation_communities",
     "louvain_communities",
+    "modularity",
     # north-rule additions (SURVEY.md §2.9)
     "connected_components",
     "triangles",
@@ -210,6 +211,26 @@ class BackendInterface:
             **kw,
         )
         return [{back[m] for m in c} for c in comms]
+
+    @staticmethod
+    def modularity(G, communities, weight="weight", resolution=1, **kw):
+        # mirror nx.community.modularity's partition validation with
+        # its own exception class before dispatching the distributed
+        # scorer
+        import networkx as nx
+
+        comms = [set(c) for c in communities]
+        nodes = set(G.nodes)
+        covered: set = set()
+        total = 0
+        for c in comms:
+            covered |= c
+            total += len(c)
+        if covered != nodes or total != len(nodes):
+            raise nx.algorithms.community.quality.NotAPartition(G, comms)
+        return api.modularity(
+            _lg(G), comms, weight=weight, resolution=resolution, **kw
+        )
 
     # -- traversal -----------------------------------------------------
 
