@@ -188,6 +188,26 @@ def _truss_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
 
 
+def _recip_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed ring i->(i+1)%n, reciprocated back-edge only when
+    i%3==0, plus a chord i->(i+7)%n when i%5==0: vertices fall into
+    several distinct (reciprocated, total) classes, so the per-vertex
+    reciprocity has real variance for the oracle to pin."""
+    ids, n = _ids_n(spark, sf_dir)
+    ring = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    back = ids.where(F.col("i") % 3 == 0).select(
+        ((F.col("i") + 1) % n).alias("src"), F.col("i").alias("dst")
+    )
+    chord = ids.where(F.col("i") % 5 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % n).alias("dst")
+    )
+    edges = (
+        ring.unionByName(back).unionByName(chord)
+        .where(F.col("src") != F.col("dst"))
+    )
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+
+
 # ---------------------------------------------------------------- queries
 
 def q_pagerank_web(spark, sf_dir):
@@ -376,6 +396,111 @@ def q_modularity(spark, sf_dir):
         F.round("in_w", 8).alias("in_w"),
         F.round("tot_w", 8).alias("tot_w"),
         F.round("contribution", 12).alias("contribution"),
+    )
+
+
+def q_clustering(spark, sf_dir):
+    """Per-vertex clustering coefficients (operators/clustering.py,
+    Watts-Strogatz; round-5 triangle-surface extension) over the
+    circulant+10-clique graph — clique members, ring members and the
+    boundary vertices all get distinct (triangles, deg) mixes, so the
+    coefficient exercises every branch. All inputs are exact small
+    integers; the single IEEE division matches DuckDB bit-for-bit."""
+    from nx_neptune_spark.operators.clustering import clustering_stats
+
+    g = _truss_graph(spark, sf_dir)
+    return clustering_stats(g).select(
+        "vid",
+        "triangles",
+        "deg",
+        F.round("clustering", 12).alias("clustering"),
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Per-vertex reciprocity (operators/reciprocity.py; round-5
+    directed-analysis extension) on a ring with every-third edge
+    reciprocated plus sparse chords — three distinct flag/total mixes
+    per vertex class. Exact small-integer division, bit-identical in
+    both engines."""
+    from nx_neptune_spark.operators.reciprocity import reciprocity
+
+    g = _recip_graph(spark, sf_dir)
+    return reciprocity(g).select(
+        "vid", F.round("reciprocity", 12).alias("reciprocity")
+    )
+
+
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality (operators/harmonic.py, Boldi-Vigna 2014;
+    round-5 centrality extension — finite on disconnected graphs,
+    which is why public Common-Crawl host rankings use it over
+    closeness) on the same chain fixture closeness uses. nbunch
+    restricts the scored roots, sources the summed-over targets, so
+    both restriction paths get an oracle row."""
+    from nx_neptune_spark.operators.harmonic import harmonic_centrality
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    return harmonic_centrality(g).select(
+        "vid", F.round("harmonic", 8).alias("harmonic")
+    )
+
+
+def q_harmonic_nbunch(spark, sf_dir):
+    from nx_neptune_spark.operators.harmonic import harmonic_centrality
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    return harmonic_centrality(
+        g, nbunch=[0, 7, 23], sources=list(range(60))
+    ).select("vid", F.round("harmonic", 8).alias("harmonic"))
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level collapse of a page-level link table
+    (functions/web.py; round-5 webtext extension — the shape of the
+    public Common-Crawl host graph). Urls are synthesized from doc_id
+    with 37 hosts; every 11th url carries userinfo + port and a www.
+    prefix so the pinned RE2/Java-shared host regex is exercised on
+    the messy forms, not just the clean ones. Weight = page-level
+    link count per host pair; intra-host links dropped."""
+    from nx_neptune_spark.functions.web import host_link_pairs
+
+    ids, n = _ids_n(spark, sf_dir)
+    urls = ids.select(
+        "i",
+        F.when(
+            F.col("i") % 11 == 0,
+            F.concat(
+                F.lit("https://crawler:pw@www.h"),
+                (F.col("i") % 37).cast("string"),
+                F.lit(".example.org:8443/p/"),
+                F.col("i").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("i") % 37).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("i").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    links = ids.select(
+        F.col("i").alias("a"), ((F.col("i") * F.col("i") + 1) % n).alias("b")
+    ).unionByName(
+        ids.select(F.col("i").alias("a"), ((F.col("i") + 1) % n).alias("b"))
+    ).where(F.col("a") != F.col("b")).distinct()
+    named = (
+        links.join(urls.select(F.col("i").alias("a"), F.col("url").alias("src_name")), "a")
+        .join(urls.select(F.col("i").alias("b"), F.col("url").alias("dst_name")), "b")
+        .select("src_name", "dst_name")
+    )
+    return host_link_pairs(named).select(
+        F.col("src_name").alias("src_host"),
+        F.col("dst_name").alias("dst_host"),
+        "weight",
     )
 
 
@@ -958,6 +1083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_bridged": q_louvain_bridged,
         "modularity": q_modularity,
         "triangle_count": q_triangle_count,
+        "clustering": q_clustering,
+        "reciprocity": q_reciprocity,
+        "harmonic_centrality": q_harmonic,
+        "harmonic_nbunch": q_harmonic_nbunch,
+        "host_graph": q_host_graph,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -1431,6 +1561,132 @@ FROM per_c CROSS JOIN m2
 """
 
 
+def _clustering_sql() -> str:
+    """Per-vertex clustering over the circulant(1,2)+10-clique fixture
+    (operators/clustering.py): triangles via one ordered three-way
+    self-join (a<b<c), degree over the symmetric projection,
+    c = 2t/(d(d-1)) — exact-int inputs, one IEEE division."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+  UNION ALL SELECT a.i, b.i FROM ids a JOIN ids b ON a.i < 10 AND b.i < 10 AND a.i < b.i
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tv AS (
+  SELECT vid, count(*) AS t FROM (
+    SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) z GROUP BY vid),
+dv AS (
+  SELECT vid, count(*) AS d FROM (
+    SELECT u AS vid FROM e UNION ALL SELECT v FROM e) z GROUP BY vid)
+SELECT i AS vid,
+       CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+       CAST(coalesce(d, 0) AS BIGINT) AS deg,
+       round(CASE WHEN coalesce(d, 0) >= 2
+                  THEN 2.0 * coalesce(t, 0) / (CAST(d AS DOUBLE) * (d - 1.0))
+                  ELSE 0.0 END, 12) AS clustering
+FROM ids LEFT JOIN tv ON tv.vid = i LEFT JOIN dv ON dv.vid = i
+"""
+
+
+def _reciprocity_sql() -> str:
+    """Per-vertex reciprocity over the _recip_graph fixture
+    (operators/reciprocity.py): flag each deduplicated directed edge
+    whose reverse exists, explode to both endpoint perspectives,
+    r = sum(flag)/count — exact-int division."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT (i+1) % c, i FROM ids, n WHERE i % 3 = 0
+  UNION ALL SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+mk AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS recip
+  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src),
+persp AS (
+  SELECT src AS vid, recip FROM mk UNION ALL SELECT dst, recip FROM mk),
+per AS (
+  SELECT vid, sum(recip) AS o2, count(*) AS tot FROM persp GROUP BY vid)
+SELECT i AS vid,
+       round(CAST(o2 AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS reciprocity
+FROM ids JOIN per ON per.vid = i
+"""
+
+
+def _harmonic_sql(roots: str = "", source_max: int | None = None) -> str:
+    """BFS-distance recursive CTE (same device as _closeness_sql) with
+    sum-of-reciprocals aggregation (operators/harmonic.py)."""
+    vfilter = f" AND v < {source_max}" if source_max is not None else ""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+d(s, v, dist) AS (
+  SELECT i, i, 0 FROM ids{roots}
+  UNION
+  SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v WHERE dd.dist < 40
+),
+md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v),
+ag AS (SELECT s, sum(1.0 / dist) AS h FROM md WHERE dist > 0{vfilter} GROUP BY s)
+SELECT i AS vid, round(coalesce(h, 0.0), 8) AS harmonic
+FROM (SELECT i FROM ids{roots}) r LEFT JOIN ag ON ag.s = r.i
+"""
+
+
+def _host_graph_sql() -> str:
+    """Host collapse oracle (functions/web.py): DuckDB applies the
+    SAME RE2/Java-shared host regex + www-strip to the same synthetic
+    urls, then the same dedup'd-link count per host pair."""
+    from nx_neptune_spark.functions.web import HOST_RE
+
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+urls AS (
+  SELECT i,
+         CASE WHEN i % 11 = 0
+              THEN 'https://crawler:pw@www.h' || CAST(i % 37 AS VARCHAR)
+                   || '.example.org:8443/p/' || CAST(i AS VARCHAR)
+              ELSE 'https://h' || CAST(i % 37 AS VARCHAR)
+                   || '.example.org/p/' || CAST(i AS VARCHAR) END AS url
+  FROM ids
+),
+links AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT i AS a, (i * i + 1) % c AS b FROM ids, n
+    UNION ALL SELECT i, (i + 1) % c FROM ids, n) z
+  WHERE a <> b
+),
+named AS (
+  SELECT us.url AS src_url, ud.url AS dst_url
+  FROM links JOIN urls us ON us.i = links.a JOIN urls ud ON ud.i = links.b
+),
+hosts AS (
+  SELECT regexp_replace(lower(regexp_extract(src_url, '{HOST_RE}', 1)), '^www\\.', '') AS src_host,
+         regexp_replace(lower(regexp_extract(dst_url, '{HOST_RE}', 1)), '^www\\.', '') AS dst_host
+  FROM named
+)
+SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS weight
+FROM hosts
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
 def _triangles_sql() -> str:
     return """
 WITH
@@ -1789,6 +2045,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "closeness_centrality": _closeness_sql(),
         "closeness_sources": _closeness_sql(" WHERE i IN (0, 7, 23)"),
+        "clustering": _clustering_sql(),
+        "reciprocity": _reciprocity_sql(),
+        "harmonic_centrality": _harmonic_sql(),
+        "harmonic_nbunch": _harmonic_sql(" WHERE i IN (0, 7, 23)", source_max=60),
+        "host_graph": _host_graph_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

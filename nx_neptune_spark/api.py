@@ -360,6 +360,92 @@ def triangles(graph: LinkGraph, nodes=None) -> dict:
     return res
 
 
+def clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
+               **ignored) -> dict | float:
+    """``nx.clustering`` shape (dict, or scalar for a single node);
+    `weight` warn-and-ignored (reference unsupported-param pattern,
+    algorithm_utils.py:26-38 — the operator is unweighted)."""
+    from .operators.clustering import clustering as _cl
+
+    _warn_unsupported("clustering", weight=weight)
+    name_of = graph.name_of()
+    res = {name_of[r["vid"]]: r["clustering"] for r in _cl(graph).collect()}
+    if nodes is None:
+        return res
+    if isinstance(nodes, (str, int)) or not isinstance(nodes, Iterable):
+        return res[str(nodes)]
+    return {str(n): res[str(n)] for n in nodes}
+
+
+def transitivity(graph: LinkGraph, **ignored) -> float:
+    from .operators.clustering import transitivity as _tr
+
+    return _tr(graph)
+
+
+def average_clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
+                       count_zeros: bool = True, **ignored) -> float:
+    from .operators.clustering import average_clustering as _ac
+
+    _warn_unsupported("average_clustering", weight=weight, nodes=nodes)
+    return _ac(graph, count_zeros=count_zeros)
+
+
+def reciprocity(graph: LinkGraph, nodes=None) -> dict | float:
+    """``nx.reciprocity`` shape: whole-graph scalar without `nodes`,
+    scalar for a single node (raising NetworkXError for isolated
+    nodes, nx parity), dict for an iterable."""
+    from .operators.reciprocity import (
+        overall_reciprocity as _orec,
+        reciprocity as _rec,
+    )
+
+    if nodes is None:
+        return _orec(graph)
+    name_of = graph.name_of()
+    res = {name_of[r["vid"]]: r["reciprocity"] for r in _rec(graph).collect()}
+    single = isinstance(nodes, (str, int)) or not isinstance(nodes, Iterable)
+    targets = [nodes] if single else list(nodes)
+    out = {}
+    for n in targets:
+        v = res[str(n)]
+        if v is None:
+            import networkx as nx
+
+            raise nx.NetworkXError("Not defined for isolated vertices.")
+        out[str(n)] = v
+    return out[str(targets[0])] if single else out
+
+
+def overall_reciprocity(graph: LinkGraph, **ignored) -> float:
+    from .operators.reciprocity import overall_reciprocity as _orec
+
+    try:
+        return _orec(graph)
+    except ValueError:
+        import networkx as nx
+
+        raise nx.NetworkXError("Not defined for empty graphs")
+
+
+def harmonic_centrality(graph: LinkGraph, nbunch=None, distance=None,
+                        sources=None, **ignored) -> dict:
+    """``nx.harmonic_centrality`` dict shape; `distance` (weighted
+    paths) warn-and-ignored like the reference's closeness
+    (closeness.py:89)."""
+    from .operators.harmonic import harmonic_centrality as _hc
+
+    _warn_unsupported("harmonic_centrality", distance=distance)
+    vid_of = graph.vid_of()
+    nb = [vid_of[str(v)] for v in nbunch] if nbunch is not None else None
+    src = [vid_of[str(v)] for v in sources] if sources is not None else None
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: r["harmonic"]
+        for r in _hc(graph, nbunch=nb, sources=src).collect()
+    }
+
+
 def bfs_edges(graph: LinkGraph, source: str, reverse: bool = False,
               depth_limit: int | None = None, sort_neighbors=None, **ignored):
     """Generator of (parent, child) pairs (reference bfs.py:41-130);

@@ -59,6 +59,13 @@ ALGORITHMS = [
     "jaccard_coefficient",
     "adamic_adar_index",
     "preferential_attachment",
+    # round-5 link-graph extensions
+    "clustering",
+    "transitivity",
+    "average_clustering",
+    "reciprocity",
+    "overall_reciprocity",
+    "harmonic_centrality",
 ]
 
 
@@ -270,6 +277,44 @@ class BackendInterface:
     @staticmethod
     def triangles(G, nodes=None, **kw):
         res = api.triangles(_lg(G), nodes=nodes, **kw)
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def clustering(G, nodes=None, weight=None, **kw):
+        res = api.clustering(_lg(G), nodes=nodes, weight=weight, **kw)
+        if not isinstance(res, dict):
+            return res
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def transitivity(G, **kw):
+        return api.transitivity(_lg(G), **kw)
+
+    @staticmethod
+    def average_clustering(G, nodes=None, weight=None, count_zeros=True, **kw):
+        return api.average_clustering(
+            _lg(G), nodes=nodes, weight=weight, count_zeros=count_zeros, **kw
+        )
+
+    @staticmethod
+    def reciprocity(G, nodes=None, **kw):
+        res = api.reciprocity(_lg(G), nodes=nodes, **kw)
+        if not isinstance(res, dict):
+            return res
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def overall_reciprocity(G, **kw):
+        return api.overall_reciprocity(_lg(G), **kw)
+
+    @staticmethod
+    def harmonic_centrality(G, nbunch=None, distance=None, sources=None, **kw):
+        res = api.harmonic_centrality(
+            _lg(G), nbunch=nbunch, distance=distance, sources=sources, **kw
+        )
         back = _back(G)
         return {back[k]: v for k, v in res.items()}
 
