@@ -188,6 +188,27 @@ def _truss_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=False)
 
 
+SCC_N = 120  # 14 blocks x 8 + hub 112 + isolated 113..119
+
+
+def _scc_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed: chains i->i+1 inside 8-vertex blocks (i<112, i%8<7),
+    a 4-cycle i->i-3 at i%8==5, and hub 112 -> every block base."""
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < SCC_N)
+    chain = ids.where((F.col("i") < 112) & (F.col("i") % 8 < 7)).select(
+        F.col("i").alias("src"), (F.col("i") + 1).alias("dst")
+    )
+    cyc = ids.where((F.col("i") < 112) & (F.col("i") % 8 == 5)).select(
+        F.col("i").alias("src"), (F.col("i") - 3).alias("dst")
+    )
+    star = ids.where((F.col("i") < 112) & (F.col("i") % 8 == 0)).select(
+        F.lit(112).alias("src"), F.col("i").alias("dst")
+    )
+    edges = chain.unionByName(cyc).unionByName(star)
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+
+
 def _recip_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """Directed ring i->(i+1)%n, reciprocated back-edge only when
     i%3==0, plus a chord i->(i+7)%n when i%5==0: vertices fall into
@@ -453,6 +474,21 @@ def q_harmonic_nbunch(spark, sf_dir):
     return harmonic_centrality(
         g, nbunch=[0, 7, 23], sources=list(range(60))
     ).select("vid", F.round("harmonic", 8).alias("harmonic"))
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py, FW-BW-Trim;
+    round-5 directed extension — the web bowtie decomposition) on a
+    hub-and-blocks fixture: a hub fans out to 14 blocks of 8, each
+    block an in-chain with an internal 4-cycle {base+2..base+5}. The
+    hub/chain scaffolding trims away (in/out-degree-0 peeling), the 14
+    quads resolve in one forward-backward round. The oracle computes
+    mutual reachability directly (recursive closure + self-join), so
+    it pins the SEMANTICS, not the algorithm's round structure."""
+    from nx_neptune_spark.operators.scc import strongly_connected_components
+
+    g = _scc_graph(spark, sf_dir)
+    return strongly_connected_components(g).select("vid", "scc_id")
 
 
 def q_host_graph(spark, sf_dir):
@@ -1088,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic,
         "harmonic_nbunch": q_harmonic_nbunch,
         "host_graph": q_host_graph,
+        "scc": q_scc,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -1647,6 +1684,29 @@ FROM (SELECT i FROM ids{roots}) r LEFT JOIN ag ON ag.s = r.i
 """
 
 
+def _scc_sql() -> str:
+    """Mutual-reachability oracle (operators/scc.py): recursive
+    closure r(s,v) = v reachable from s, SCC(u) = {w : r(u,w) AND
+    r(w,u)}, scc_id = min of that set (always defined: r(u,u))."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {SCC_N}),
+e AS (
+  SELECT i AS src, i + 1 AS dst FROM ids WHERE i < 112 AND i % 8 < 7
+  UNION ALL SELECT i, i - 3 FROM ids WHERE i < 112 AND i % 8 = 5
+  UNION ALL SELECT 112, i FROM ids WHERE i < 112 AND i % 8 = 0
+),
+r(s, v) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT r.s, e.dst FROM r JOIN e ON e.src = r.v
+)
+SELECT r1.s AS vid, min(r1.v) AS scc_id
+FROM r r1 JOIN r r2 ON r2.s = r1.v AND r2.v = r1.s
+GROUP BY r1.s
+"""
+
+
 def _host_graph_sql() -> str:
     """Host collapse oracle (functions/web.py): DuckDB applies the
     SAME RE2/Java-shared host regex + www-strip to the same synthetic
@@ -2050,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(),
         "harmonic_nbunch": _harmonic_sql(" WHERE i IN (0, 7, 23)", source_max=60),
         "host_graph": _host_graph_sql(),
+        "scc": _scc_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

@@ -350,6 +350,23 @@ def connected_components(graph: LinkGraph) -> Iterable[set]:
     return iter(comps.values())
 
 
+def strongly_connected_components(graph: LinkGraph) -> Iterable[set]:
+    """Generator of sets, NetworkX shape (directed)."""
+    from .operators.scc import strongly_connected_components as _scc
+
+    name_of = graph.name_of()
+    comps: dict[int, set] = {}
+    for r in _scc(graph).collect():
+        comps.setdefault(r["scc_id"], set()).add(name_of[r["vid"]])
+    return iter(comps.values())
+
+
+def number_strongly_connected_components(graph: LinkGraph) -> int:
+    from .operators.scc import number_strongly_connected_components as _n
+
+    return _n(graph)
+
+
 def triangles(graph: LinkGraph, nodes=None) -> dict:
     from .operators.triangles import triangle_count as _tc
 

@@ -47,6 +47,8 @@ ALGORITHMS = [
     "modularity",
     # north-rule additions (SURVEY.md §2.9)
     "connected_components",
+    "strongly_connected_components",
+    "number_strongly_connected_components",
     "triangles",
     "hits",
     # round-4 link-graph extensions
@@ -273,6 +275,20 @@ class BackendInterface:
     def connected_components(G, **kw):
         back = _back(G)
         return iter([{back[m] for m in c} for c in api.connected_components(_lg(G), **kw)])
+
+    @staticmethod
+    def strongly_connected_components(G, **kw):
+        back = _back(G)
+        return iter(
+            [
+                {back[m] for m in c}
+                for c in api.strongly_connected_components(_lg(G), **kw)
+            ]
+        )
+
+    @staticmethod
+    def number_strongly_connected_components(G, **kw):
+        return api.number_strongly_connected_components(_lg(G), **kw)
 
     @staticmethod
     def triangles(G, nodes=None, **kw):

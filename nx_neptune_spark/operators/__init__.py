@@ -5,3 +5,13 @@ from .kcore import core_number, k_core  # noqa: F401
 from .sssp import shortest_path_lengths  # noqa: F401
 from .linkpred import link_prediction  # noqa: F401
 from .betweenness import betweenness_centrality  # noqa: F401
+from .ktruss import k_truss  # noqa: F401
+from .modularity import modularity, modularity_stats  # noqa: F401
+from .clustering import (  # noqa: F401
+    average_clustering,
+    clustering,
+    transitivity,
+)
+from .reciprocity import overall_reciprocity, reciprocity  # noqa: F401
+from .harmonic import harmonic_centrality  # noqa: F401
+from .scc import strongly_connected_components  # noqa: F401

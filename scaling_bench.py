@@ -112,8 +112,30 @@ inner loop is a hash join + sum over the edge table); local[32] gains
             f"| {r['secs']:.2f} | {r['eps_per_iter']:,.0f} | {r['pages_per_sec']:,.0f} |"
         )
 
+    report = {
+        "lo": r_lo, "hi_strong": r_hi_strong, "lo_big": r_lo_big,
+        "hi_weak": r_hi_weak, "weak_efficiency": eff_weak,
+        "strong_efficiency_P": eff_strong,
+        "strong_efficiency_4P": eff_strong_big,
+    }
+    # smoke-scale runs (pages below the full-harness default) must not
+    # overwrite the authoritative tables in BENCH/BASELINE.md
+    if pages < 1_500_000 and os.environ.get("SPARK_GRAFT_SCALE_WRITE") != "1":
+        print(json.dumps(report))
+        print("smoke scale: BENCH/BASELINE.md left untouched "
+              "(set SPARK_GRAFT_SCALE_WRITE=1 to force)")
+        return
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-maintained measurement-history section across
+    # rewrites (everything from its header to EOF)
+    history = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        idx = prev.find("## Measurement history")
+        if idx >= 0:
+            history = "\n" + prev[idx:]
     with open(out, "w") as f:
         f.write(
             f"""# BENCH/BASELINE.md — measured north-star numbers
@@ -149,13 +171,9 @@ The per-iteration physical plan (one hash-partitioned shuffle,
 map-side combine, shuffle-hash join of co-partitioned sides, optional
 salted two-phase hub aggregation, AQE skew splitting) is identical at
 every level; partitioning counts scale with the core count.
-{appendix}"""
+{appendix}{history}"""
         )
-    print(json.dumps({
-        "lo": r_lo, "hi_strong": r_hi_strong, "lo_big": r_lo_big, "hi_weak": r_hi_weak,
-        "weak_efficiency": eff_weak, "strong_efficiency_P": eff_strong,
-        "strong_efficiency_4P": eff_strong_big,
-    }))
+    print(json.dumps(report))
     print(f"wrote {out}")
 
 
