@@ -491,6 +491,54 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(g).select("vid", "scc_id")
 
 
+def q_scc_condensation(spark, sf_dir):
+    """SCC-DAG of the scc fixture (operators/condensation.py; round-5
+    directed extension): components collapse to their min-vid
+    representative, edges are the DISTINCT cross-component links (the
+    hub->block fan, the chain hops in/out of each block's 4-cycle).
+    The oracle derives labels from the mutual-reachability closure and
+    joins them onto the same edge CTE, so it pins semantics without
+    assuming anything about the FW-BW round structure."""
+    from nx_neptune_spark.operators.condensation import condensation
+
+    g = _scc_graph(spark, sf_dir)
+    cg = condensation(g)
+    return cg.edges.select(
+        F.col("src").alias("src_scc"), F.col("dst").alias("dst_scc")
+    )
+
+
+def q_attracting(spark, sf_dir):
+    """Attracting components (operators/condensation.py) on the scc
+    fixture: the 14 block-tail singletons {base+7} plus the 7
+    isolated vertices — the absorbing states where undamped PageRank
+    mass would pool. Oracle: components of the mutual-reachability
+    closure whose scc_id never appears as a cross-component source."""
+    from nx_neptune_spark.operators.condensation import attracting_components
+
+    g = _scc_graph(spark, sf_dir)
+    return attracting_components(g).select("vid", "scc_id")
+
+
+def q_assortativity(spark, sf_dir):
+    """All four directed degree-assortativity coefficients in one
+    lazy plan (operators/assortativity.py; round-5 link-graph
+    extension — the web's hub-wiring summary) over the _recip_graph
+    fixture (degrees 1..3 with real variance). Both engines compute
+    the coefficient from the SAME exact integer sums, so the IEEE
+    arithmetic is bit-reproducible and round(8) is safe."""
+    from nx_neptune_spark.operators.assortativity import (
+        directed_assortativity_profile,
+    )
+
+    g = _recip_graph(spark, sf_dir)
+    prof = directed_assortativity_profile(g)
+    return prof.select(
+        *[F.round(c, 8).alias(c) for c in
+          ("r_out_in", "r_out_out", "r_in_in", "r_in_out")]
+    )
+
+
 def q_host_graph(spark, sf_dir):
     """Host-level collapse of a page-level link table
     (functions/web.py; round-5 webtext extension — the shape of the
@@ -1125,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_nbunch": q_harmonic_nbunch,
         "host_graph": q_host_graph,
         "scc": q_scc,
+        "scc_condensation": q_scc_condensation,
+        "assortativity": q_assortativity,
+        "attracting_components": q_attracting,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -1663,6 +1714,56 @@ FROM ids JOIN per ON per.vid = i
 """
 
 
+def _assortativity_sql() -> str:
+    """Directed assortativity oracle (operators/assortativity.py) on
+    the _recip_graph edges: identical exact-integer sums, identical
+    IEEE formula r = (n·Σxy − Σx·Σy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT (i+1) % c, i FROM ids, n WHERE i % 3 = 0
+  UNION ALL SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+od AS (SELECT src AS vid, count(*) AS deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS vid, count(*) AS deg FROM e GROUP BY dst),
+tagged AS (
+  SELECT o.deg AS xo, coalesce(i2.deg, 0) AS xi,
+         coalesce(o2.deg, 0) AS yo, i.deg AS yi
+  FROM e
+  JOIN od o   ON o.vid = e.src
+  LEFT JOIN id_ i2 ON i2.vid = e.src
+  JOIN id_ i  ON i.vid = e.dst
+  LEFT JOIN od o2  ON o2.vid = e.dst
+),
+s AS (
+  SELECT count(*) AS n,
+         sum(xo) AS s_xo, sum(xi) AS s_xi, sum(yo) AS s_yo, sum(yi) AS s_yi,
+         sum(xo*xo) AS s_xo2, sum(xi*xi) AS s_xi2,
+         sum(yo*yo) AS s_yo2, sum(yi*yi) AS s_yi2,
+         sum(xo*yi) AS s_xo_yi, sum(xo*yo) AS s_xo_yo,
+         sum(xi*yi) AS s_xi_yi, sum(xi*yo) AS s_xi_yo
+  FROM tagged
+)
+SELECT
+  round(CAST(n*s_xo_yi - s_xo*s_yi AS DOUBLE)
+        / (sqrt(CAST(n*s_xo2 - s_xo*s_xo AS DOUBLE))
+           * sqrt(CAST(n*s_yi2 - s_yi*s_yi AS DOUBLE))), 8) AS r_out_in,
+  round(CAST(n*s_xo_yo - s_xo*s_yo AS DOUBLE)
+        / (sqrt(CAST(n*s_xo2 - s_xo*s_xo AS DOUBLE))
+           * sqrt(CAST(n*s_yo2 - s_yo*s_yo AS DOUBLE))), 8) AS r_out_out,
+  round(CAST(n*s_xi_yi - s_xi*s_yi AS DOUBLE)
+        / (sqrt(CAST(n*s_xi2 - s_xi*s_xi AS DOUBLE))
+           * sqrt(CAST(n*s_yi2 - s_yi*s_yi AS DOUBLE))), 8) AS r_in_in,
+  round(CAST(n*s_xi_yo - s_xi*s_yo AS DOUBLE)
+        / (sqrt(CAST(n*s_xi2 - s_xi*s_xi AS DOUBLE))
+           * sqrt(CAST(n*s_yo2 - s_yo*s_yo AS DOUBLE))), 8) AS r_in_out
+FROM s
+"""
+
+
 def _harmonic_sql(roots: str = "", source_max: int | None = None) -> str:
     """BFS-distance recursive CTE (same device as _closeness_sql) with
     sum-of-reciprocals aggregation (operators/harmonic.py)."""
@@ -1684,11 +1785,7 @@ FROM (SELECT i FROM ids{roots}) r LEFT JOIN ag ON ag.s = r.i
 """
 
 
-def _scc_sql() -> str:
-    """Mutual-reachability oracle (operators/scc.py): recursive
-    closure r(s,v) = v reachable from s, SCC(u) = {w : r(u,w) AND
-    r(w,u)}, scc_id = min of that set (always defined: r(u,u))."""
-    return f"""
+_SCC_CTE = f"""
 WITH RECURSIVE
 ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {SCC_N}),
 e AS (
@@ -1700,10 +1797,44 @@ r(s, v) AS (
   SELECT i, i FROM ids
   UNION
   SELECT r.s, e.dst FROM r JOIN e ON e.src = r.v
-)
-SELECT r1.s AS vid, min(r1.v) AS scc_id
-FROM r r1 JOIN r r2 ON r2.s = r1.v AND r2.v = r1.s
-GROUP BY r1.s
+),
+scc AS (
+  SELECT r1.s AS vid, min(r1.v) AS scc_id
+  FROM r r1 JOIN r r2 ON r2.s = r1.v AND r2.v = r1.s
+  GROUP BY r1.s
+)"""
+
+
+def _scc_sql() -> str:
+    """Mutual-reachability oracle (operators/scc.py): recursive
+    closure r(s,v) = v reachable from s, SCC(u) = {w : r(u,w) AND
+    r(w,u)}, scc_id = min of that set (always defined: r(u,u))."""
+    return _SCC_CTE + "\nSELECT vid, scc_id FROM scc"
+
+
+def _condensation_sql() -> str:
+    """Condensation oracle (operators/condensation.py): component
+    labels via the same mutual-reachability closure, then the distinct
+    cross-component edge set — independent of FW-BW round structure."""
+    return _SCC_CTE + """
+SELECT DISTINCT s1.scc_id AS src_scc, s2.scc_id AS dst_scc
+FROM e
+JOIN scc s1 ON s1.vid = e.src
+JOIN scc s2 ON s2.vid = e.dst
+WHERE s1.scc_id <> s2.scc_id
+"""
+
+
+def _attracting_sql() -> str:
+    """Attracting-components oracle: members of SCCs that never source
+    a cross-component edge."""
+    return _SCC_CTE + """
+SELECT s.vid, s.scc_id FROM scc s
+WHERE s.scc_id NOT IN (
+  SELECT s1.scc_id FROM e
+  JOIN scc s1 ON s1.vid = e.src
+  JOIN scc s2 ON s2.vid = e.dst
+  WHERE s1.scc_id <> s2.scc_id)
 """
 
 
@@ -2111,6 +2242,9 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_nbunch": _harmonic_sql(" WHERE i IN (0, 7, 23)", source_max=60),
         "host_graph": _host_graph_sql(),
         "scc": _scc_sql(),
+        "scc_condensation": _condensation_sql(),
+        "assortativity": _assortativity_sql(),
+        "attracting_components": _attracting_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

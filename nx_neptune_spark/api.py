@@ -367,6 +367,90 @@ def number_strongly_connected_components(graph: LinkGraph) -> int:
     return _n(graph)
 
 
+def weakly_connected_components(graph: LinkGraph) -> Iterable[set]:
+    """``nx.weakly_connected_components``: components of the
+    undirected view — exactly what operators/components.py computes."""
+    return connected_components(graph)
+
+
+def number_connected_components(graph: LinkGraph) -> int:
+    from .operators.components import connected_components as _cc
+
+    return _cc(graph).select("component").distinct().count()
+
+
+def number_weakly_connected_components(graph: LinkGraph) -> int:
+    return number_connected_components(graph)
+
+
+def _nonempty_or_raise(graph: LinkGraph, what: str) -> None:
+    if graph.vertices.limit(1).isEmpty():
+        raise ValueError(f"Connectivity is undefined for the null graph. ({what})")
+
+
+def is_connected(graph: LinkGraph) -> bool:
+    _nonempty_or_raise(graph, "is_connected")
+    return number_connected_components(graph) == 1
+
+
+def is_weakly_connected(graph: LinkGraph) -> bool:
+    _nonempty_or_raise(graph, "is_weakly_connected")
+    return number_weakly_connected_components(graph) == 1
+
+
+def is_strongly_connected(graph: LinkGraph) -> bool:
+    _nonempty_or_raise(graph, "is_strongly_connected")
+    return number_strongly_connected_components(graph) == 1
+
+
+def attracting_components(graph: LinkGraph) -> Iterable[set]:
+    """Generator of sets, NetworkX shape: SCCs with no out-edge in
+    the condensation."""
+    from .operators.condensation import attracting_components as _ac
+
+    name_of = graph.name_of()
+    comps: dict[int, set] = {}
+    for r in _ac(graph).collect():
+        comps.setdefault(r["scc_id"], set()).add(name_of[r["vid"]])
+    return iter(comps.values())
+
+
+def number_attracting_components(graph: LinkGraph) -> int:
+    from .operators.condensation import attracting_components as _ac
+
+    return _ac(graph).select("scc_id").distinct().count()
+
+
+def degree_assortativity_coefficient(
+    graph: LinkGraph, x: str = "out", y: str = "in", weight=None, nodes=None
+) -> float:
+    """``nx.degree_assortativity_coefficient`` (weight=None shape)."""
+    if weight is not None:
+        raise NotImplementedError("weighted assortativity is not implemented")
+    if nodes is not None:
+        raise NotImplementedError("node-restricted assortativity is not implemented")
+    from .operators.assortativity import (
+        degree_assortativity_coefficient as _dac,
+    )
+
+    return _dac(graph, x=x, y=y)
+
+
+def condensation(graph: LinkGraph) -> tuple[dict[int, set], set]:
+    """(members: scc_id -> set of node names, comp_edges: set of
+    (src_scc_id, dst_scc_id)) — the adapter-scale view of the SCC-DAG;
+    the dispatch layer assembles NetworkX's 0..k-1-labeled DiGraph."""
+    from .operators.condensation import condensation_with_members
+
+    name_of = graph.name_of()
+    cg, mapping = condensation_with_members(graph)
+    members: dict[int, set] = {}
+    for r in mapping.collect():
+        members.setdefault(r["scc_id"], set()).add(name_of[r["vid"]])
+    comp_edges = {(r["src"], r["dst"]) for r in cg.edges.collect()}
+    return members, comp_edges
+
+
 def triangles(graph: LinkGraph, nodes=None) -> dict:
     from .operators.triangles import triangle_count as _tc
 

@@ -49,6 +49,16 @@ ALGORITHMS = [
     "connected_components",
     "strongly_connected_components",
     "number_strongly_connected_components",
+    "condensation",
+    "degree_assortativity_coefficient",
+    "weakly_connected_components",
+    "number_connected_components",
+    "number_weakly_connected_components",
+    "is_connected",
+    "is_weakly_connected",
+    "is_strongly_connected",
+    "attracting_components",
+    "number_attracting_components",
     "triangles",
     "hits",
     # round-4 link-graph extensions
@@ -289,6 +299,99 @@ class BackendInterface:
     @staticmethod
     def number_strongly_connected_components(G, **kw):
         return api.number_strongly_connected_components(_lg(G), **kw)
+
+    @staticmethod
+    def weakly_connected_components(G, **kw):
+        back = _back(G)
+        return iter(
+            [{back[m] for m in c} for c in api.weakly_connected_components(_lg(G), **kw)]
+        )
+
+    @staticmethod
+    def number_connected_components(G, **kw):
+        return api.number_connected_components(_lg(G), **kw)
+
+    @staticmethod
+    def number_weakly_connected_components(G, **kw):
+        return api.number_weakly_connected_components(_lg(G), **kw)
+
+    @staticmethod
+    def is_connected(G, **kw):
+        import networkx as nx
+
+        try:
+            return api.is_connected(_lg(G), **kw)
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+
+    @staticmethod
+    def is_weakly_connected(G, **kw):
+        import networkx as nx
+
+        try:
+            return api.is_weakly_connected(_lg(G), **kw)
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+
+    @staticmethod
+    def is_strongly_connected(G, **kw):
+        import networkx as nx
+
+        try:
+            return api.is_strongly_connected(_lg(G), **kw)
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+
+    @staticmethod
+    def attracting_components(G, **kw):
+        back = _back(G)
+        return iter(
+            [{back[m] for m in c} for c in api.attracting_components(_lg(G), **kw)]
+        )
+
+    @staticmethod
+    def number_attracting_components(G, **kw):
+        return api.number_attracting_components(_lg(G), **kw)
+
+    @staticmethod
+    def degree_assortativity_coefficient(
+        G, x="out", y="in", weight=None, nodes=None, **kw
+    ):
+        return api.degree_assortativity_coefficient(
+            _lg(G), x=x, y=y, weight=weight, nodes=nodes, **kw
+        )
+
+    @staticmethod
+    def condensation(G, scc=None, **kw):
+        import networkx as nx
+
+        if scc is not None:
+            # caller supplied the partition (original node keys):
+            # honor it verbatim (nx contract) — pure-python assembly
+            # at adapter scale
+            comps = [set(c) for c in scc]
+            mapping = {n: i for i, c in enumerate(comps) for n in c}
+        else:
+            back = _back(G)
+            members, comp_edges = api.condensation(_lg(G))
+            ids = sorted(members)  # deterministic 0..k-1 labeling
+            idx = {sid: i for i, sid in enumerate(ids)}
+            comps = [{back[m] for m in members[sid]} for sid in ids]
+            mapping = {n: i for i, c in enumerate(comps) for n in c}
+        C = nx.DiGraph()
+        C.add_nodes_from(range(len(comps)))
+        for i, c in enumerate(comps):
+            C.nodes[i]["members"] = c
+        if scc is not None:
+            C.add_edges_from(
+                (mapping[u], mapping[v])
+                for u, v in G.edges()
+                if mapping[u] != mapping[v]
+            )
+        else:
+            C.add_edges_from((idx[a], idx[b]) for a, b in comp_edges)
+        C.graph["mapping"] = mapping
+        return C
 
     @staticmethod
     def triangles(G, nodes=None, **kw):

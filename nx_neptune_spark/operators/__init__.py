@@ -15,3 +15,5 @@ from .clustering import (  # noqa: F401
 from .reciprocity import overall_reciprocity, reciprocity  # noqa: F401
 from .harmonic import harmonic_centrality  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
+from .condensation import condensation  # noqa: F401
+from .assortativity import degree_assortativity_coefficient  # noqa: F401
