@@ -67,6 +67,8 @@ PR_CONV_CHECK_EVERY = 4
 # 500-doc table).
 PR_CONV_ORACLE_ITERS = 12
 EIGEN_ITERS = 12  # eigenvector-centrality contract depth (oracle unrolls same)
+KATZ_ITERS = 12  # katz-centrality contract depth (oracle unrolls same)
+KATZ_ALPHA = 0.1  # nx default; < 1/lambda_max on the web fixture
 # h-index core decomposition reaches its fixpoint in 9 rounds on the
 # n=500 pr-graph and 12 rounds at n=5000 (measured; includes the final
 # no-op confirmation round); rounds past the fixpoint are identities,
@@ -505,6 +507,23 @@ def q_scc_condensation(spark, sf_dir):
     cg = condensation(g)
     return cg.edges.select(
         F.col("src").alias("src_scc"), F.col("dst").alias("dst_scc")
+    )
+
+
+def q_topo_generations(spark, sf_dir):
+    """Topological generations of the scc fixture's CONDENSATION
+    (operators/toposort.py over operators/condensation.py — the
+    crawl-depth layering of the bowtie DAG): hub at generation 0,
+    then base -> base+1 -> quad -> base+6 -> base+7 down each block;
+    isolated vertices land in generation 0. Oracle: recursive
+    longest-path-from-source over the same closure-derived component
+    edges (generation = max path length from any in-degree-0 node)."""
+    from nx_neptune_spark.operators.condensation import condensation
+    from nx_neptune_spark.operators.toposort import topological_generations
+
+    g = _scc_graph(spark, sf_dir)
+    return topological_generations(condensation(g)).select(
+        F.col("vid").alias("scc_id"), "generation"
     )
 
 
@@ -1038,6 +1057,19 @@ def q_eigenvector_web(spark, sf_dir):
     return res.select("vid", F.round("centrality", 8).alias("centrality"))
 
 
+def q_katz_web(spark, sf_dir):
+    """Katz centrality on the skewed digraph (round-5 link-graph
+    extension, operators/katz.py; no reference analog). Fixed depth so
+    the DuckDB oracle (_katz_sql) unrolls the identical
+    x_k = alpha*A^T x_{k-1} + beta arithmetic plus the single final
+    multiply-by-reciprocal L2 normalization."""
+    from nx_neptune_spark.operators.katz import katz_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    res = katz_centrality(g, alpha=KATZ_ALPHA, fixed_iterations=KATZ_ITERS)
+    return res.select("vid", F.round("centrality", 8).alias("centrality"))
+
+
 def q_core_numbers(spark, sf_dir):
     """Core decomposition via the distributed h-index iteration
     (operators/kcore.py, Montresor et al. 2013). The engine runs to its
@@ -1155,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "hits_web": q_hits_web,
         "eigenvector_web": q_eigenvector_web,
+        "katz_web": q_katz_web,
         "core_numbers": q_core_numbers,
         "k_truss": q_k_truss,
         "sssp_weighted": q_sssp_weighted,
@@ -1176,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation": q_scc_condensation,
         "assortativity": q_assortativity,
         "attracting_components": q_attracting,
+        "topo_generations": q_topo_generations,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -1303,6 +1337,36 @@ x{k} AS MATERIALIZED (SELECT vid, s / m AS s FROM r{k} CROSS JOIN nm{k})"""
         )
     parts.append(
         f"\nSELECT vid, round(s, 8) AS centrality FROM x{k_n}"
+    )
+    return "".join(parts)
+
+
+def _katz_sql(iters: int = None) -> str:
+    """Unrolled Katz oracle (operators/katz.py update rule): x_0 = 0;
+    per iteration k — x_k = alpha·Aᵀx_{k-1} + beta (in-edge gather);
+    ONE final multiply-by-reciprocal L2 normalization (the exact FP
+    sequence the operator emits). MATERIALIZED stops DuckDB inlining
+    the unrolled DAG exponentially (same device as _eigen_sql)."""
+    k_n = iters if iters is not None else KATZ_ITERS
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        ",\nx0 AS (SELECT i AS vid, 0.0 AS s FROM ids)",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+x{k} AS MATERIALIZED (
+  SELECT v.i AS vid, {KATZ_ALPHA!r} * coalesce(c.con, 0.0) + 1.0 AS s
+  FROM ids v LEFT JOIN (
+    SELECT e.dst, sum(x.s) AS con
+    FROM x{k - 1} x JOIN edges e ON e.src = x.vid GROUP BY e.dst
+  ) c ON c.dst = v.i)"""
+        )
+    parts.append(
+        f""",
+nm AS (SELECT sqrt(sum(s * s)) AS m FROM x{k_n})
+SELECT vid, round(s * (1.0 / m), 8) AS centrality
+FROM x{k_n} CROSS JOIN nm"""
     )
     return "".join(parts)
 
@@ -1825,6 +1889,26 @@ WHERE s1.scc_id <> s2.scc_id
 """
 
 
+def _topo_generations_sql() -> str:
+    """Generations oracle: condensation edges from the closure labels,
+    then generation(v) = longest path from any source via a recursive
+    CTE (sources seed at 0; every edge extends by 1; max per node)."""
+    return _SCC_CTE + """,
+cv AS (SELECT DISTINCT scc_id FROM scc),
+ce AS (
+  SELECT DISTINCT s1.scc_id AS src_scc, s2.scc_id AS dst_scc
+  FROM e JOIN scc s1 ON s1.vid = e.src JOIN scc s2 ON s2.vid = e.dst
+  WHERE s1.scc_id <> s2.scc_id),
+g(v, d) AS (
+  SELECT scc_id, 0 FROM cv
+  WHERE scc_id NOT IN (SELECT dst_scc FROM ce)
+  UNION
+  SELECT ce.dst_scc, g.d + 1 FROM g JOIN ce ON ce.src_scc = g.v
+)
+SELECT v AS scc_id, max(d) AS generation FROM g GROUP BY v
+"""
+
+
 def _attracting_sql() -> str:
     """Attracting-components oracle: members of SCCs that never source
     a cross-component edge."""
@@ -2202,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _pagerank_sql_ext(PR_CONV_ORACLE_ITERS),
         "hits_web": _hits_sql(),
         "eigenvector_web": _eigen_sql(),
+        "katz_web": _katz_sql(),
         "core_numbers": _kcore_sql(),
         "k_truss": _ktruss_sql(),
         "sssp_weighted": _sssp_sql(),
@@ -2245,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_condensation": _condensation_sql(),
         "assortativity": _assortativity_sql(),
         "attracting_components": _attracting_sql(),
+        "topo_generations": _topo_generations_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

@@ -421,6 +421,23 @@ def number_attracting_components(graph: LinkGraph) -> int:
     return _ac(graph).select("scc_id").distinct().count()
 
 
+def topological_generations(graph: LinkGraph) -> Iterable[list]:
+    """Generator of generations (lists sorted by name), nx shape."""
+    from .operators.toposort import topological_generations as _tg
+
+    name_of = graph.name_of()
+    gens: dict[int, list] = {}
+    for r in _tg(graph).collect():
+        gens.setdefault(r["generation"], []).append(name_of[r["vid"]])
+    return iter([sorted(gens[g]) for g in sorted(gens)])
+
+
+def topological_sort(graph: LinkGraph) -> Iterable:
+    """Flat deterministic topological order (generation, then name)."""
+    for gen in topological_generations(graph):
+        yield from gen
+
+
 def degree_assortativity_coefficient(
     graph: LinkGraph, x: str = "out", y: str = "in", weight=None, nodes=None
 ) -> float:
@@ -600,6 +617,38 @@ def eigenvector_centrality(
         {vid_of[str(k)]: v for k, v in nstart.items()} if nstart is not None else None
     )
     rows = _ec(graph, max_iter=max_iter, tol=tol, nstart=ns, weight=weight).collect()
+    return {name_of[r["vid"]]: r["centrality"] for r in rows}
+
+
+def katz_centrality(
+    graph: LinkGraph,
+    alpha: float = 0.1,
+    beta: float | dict = 1.0,
+    max_iter: int = 1000,
+    tol: float = 1e-06,
+    nstart: dict | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+    **ignored,
+) -> dict:
+    """NetworkX-shaped Katz centrality (nx signature; no reference
+    analog — SURVEY §2.9 extension class)."""
+    from .operators.katz import katz_centrality as _kc
+
+    name_of = graph.name_of()
+    vid_of = {v: k for k, v in name_of.items()}
+    ns = (
+        {vid_of[str(k)]: v for k, v in nstart.items()} if nstart is not None else None
+    )
+    b = (
+        {vid_of[str(k)]: v for k, v in beta.items()}
+        if isinstance(beta, dict)
+        else beta
+    )
+    rows = _kc(
+        graph, alpha=alpha, beta=b, max_iter=max_iter, tol=tol,
+        nstart=ns, normalized=normalized, weight=weight,
+    ).collect()
     return {name_of[r["vid"]]: r["centrality"] for r in rows}
 
 

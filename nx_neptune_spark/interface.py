@@ -59,6 +59,9 @@ ALGORITHMS = [
     "is_strongly_connected",
     "attracting_components",
     "number_attracting_components",
+    "topological_generations",
+    "topological_sort",
+    "katz_centrality",
     "triangles",
     "hits",
     # round-4 link-graph extensions
@@ -354,6 +357,28 @@ class BackendInterface:
         return api.number_attracting_components(_lg(G), **kw)
 
     @staticmethod
+    def topological_generations(G, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            gens = list(api.topological_generations(_lg(G), **kw))
+        except ValueError as e:
+            raise nx.NetworkXUnfeasible(str(e)) from e
+        return iter([[back[m] for m in g] for g in gens])
+
+    @staticmethod
+    def topological_sort(G, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            order = list(api.topological_sort(_lg(G), **kw))
+        except ValueError as e:
+            raise nx.NetworkXUnfeasible(str(e)) from e
+        return iter([back[m] for m in order])
+
+    @staticmethod
     def degree_assortativity_coefficient(
         G, x="out", y="in", weight=None, nodes=None, **kw
     ):
@@ -460,6 +485,18 @@ class BackendInterface:
         back = _back(G)
         res = api.eigenvector_centrality(
             _lg(G), max_iter=max_iter, tol=tol, nstart=nstart, weight=weight, **kw
+        )
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def katz_centrality(
+        G, alpha=0.1, beta=1.0, max_iter=1000, tol=1e-06, nstart=None,
+        normalized=True, weight=None, **kw,
+    ):
+        back = _back(G)
+        res = api.katz_centrality(
+            _lg(G), alpha=alpha, beta=beta, max_iter=max_iter, tol=tol,
+            nstart=nstart, normalized=normalized, weight=weight, **kw,
         )
         return {back[k]: v for k, v in res.items()}
 

@@ -17,3 +17,5 @@ from .harmonic import harmonic_centrality  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .condensation import condensation  # noqa: F401
 from .assortativity import degree_assortativity_coefficient  # noqa: F401
+from .toposort import topological_generations  # noqa: F401
+from .katz import katz_centrality  # noqa: F401
