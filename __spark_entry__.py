@@ -676,6 +676,24 @@ def q_descendants_at_distance(spark, sf_dir):
     return descendants_at_distance(g, 0, 3)
 
 
+def q_descendants(spark, sf_dir):
+    """Full reachability closure from vertex 0 (operators/bfs.py
+    descendants; nx.descendants parity — source excluded even when a
+    cycle returns to it). Oracle: unbounded recursive closure."""
+    from nx_neptune_spark.operators.bfs import descendants
+
+    g = _pr_graph(spark, sf_dir)
+    return descendants(g, 0)
+
+
+def q_ancestors(spark, sf_dir):
+    """Reverse reachability closure to vertex 0 (nx.ancestors)."""
+    from nx_neptune_spark.operators.bfs import ancestors
+
+    g = _pr_graph(spark, sf_dir)
+    return ancestors(g, 0)
+
+
 def q_closeness(spark, sf_dir):
     from nx_neptune_spark.operators.closeness import closeness_centrality
 
@@ -1217,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_layers": q_bfs_layers,
         "bfs_parents": q_bfs_parents,
         "descendants_at_distance": q_descendants_at_distance,
+        "descendants_web": q_descendants,
+        "ancestors_web": q_ancestors,
         "closeness_centrality": q_closeness,
         "closeness_sources": q_closeness_sources,
         "dedup_exact": q_dedup_exact,
@@ -2019,6 +2039,36 @@ ml AS (SELECT vid, min(level) AS level FROM lv GROUP BY vid)
 """
 
 
+def _reach_sql(reverse: bool = False) -> str:
+    """Unbounded reachability closure from/to vertex 0 (operators/
+    bfs.py descendants/ancestors): recursive UNION terminates on the
+    finite vertex set; source row excluded like nx's bfs_tree-minus-
+    root."""
+    step = (
+        "SELECT e.src FROM r JOIN edges e ON e.dst = r.v"
+        if reverse
+        else "SELECT e.dst FROM r JOIN edges e ON e.src = r.v"
+    )
+    return f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i*i+1) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i*7+3) % c FROM ids, n
+    UNION ALL SELECT i, (i+1) % c FROM ids, n
+  ) q WHERE dst <> src
+),
+r(v) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION
+  {step}
+)
+SELECT v AS vid FROM r WHERE v <> 0
+"""
+
+
 def _closeness_sql(roots: str = "") -> str:
     return f"""
 WITH RECURSIVE
@@ -2313,6 +2363,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT level, count(*) AS n_members FROM ml GROUP BY level"
         ),
         "descendants_at_distance": _bfs_sql("SELECT vid FROM ml WHERE level = 3"),
+        "descendants_web": _reach_sql(),
+        "ancestors_web": _reach_sql(reverse=True),
         "bfs_parents": _bfs_sql(
             "SELECT min(e.src) AS parent, c.vid AS child FROM ml c"
             " JOIN edges e ON e.dst = c.vid"

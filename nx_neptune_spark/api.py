@@ -587,6 +587,26 @@ def descendants_at_distance(graph: LinkGraph, source: str, distance: int, **igno
     return {name_of[r["vid"]] for r in _dd(graph, vid_of[str(source)], distance).collect()}
 
 
+def descendants(graph: LinkGraph, source: str, **ignored) -> set:
+    """``nx.descendants``: everything reachable from source."""
+    from .operators.bfs import descendants as _d
+
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if str(source) not in vid_of:
+        raise ValueError(f"The node {source} is not in the graph.")
+    return {name_of[r["vid"]] for r in _d(graph, vid_of[str(source)]).collect()}
+
+
+def ancestors(graph: LinkGraph, source: str, **ignored) -> set:
+    """``nx.ancestors``: everything that reaches source."""
+    from .operators.bfs import ancestors as _a
+
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if str(source) not in vid_of:
+        raise ValueError(f"The node {source} is not in the graph.")
+    return {name_of[r["vid"]] for r in _a(graph, vid_of[str(source)]).collect()}
+
+
 def bfs_layers(graph: LinkGraph, sources, **ignored):
     """Generator of per-level node-name lists (reference bfs.py:188-236)."""
     from .operators.bfs import bfs_layers as _bl

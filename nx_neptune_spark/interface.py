@@ -35,6 +35,8 @@ ALGORITHMS = [
     "bfs_edges",
     "bfs_layers",
     "descendants_at_distance",
+    "descendants",
+    "ancestors",
     "pagerank",
     "degree_centrality",
     "in_degree_centrality",
@@ -276,6 +278,26 @@ class BackendInterface:
         back = _back(G)
         for layer in api.bfs_layers(_lg(G), sources, **kw):
             yield [back[m] for m in layer]
+
+    @staticmethod
+    def descendants(G, source, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            return {back[m] for m in api.descendants(_lg(G), source, **kw)}
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+
+    @staticmethod
+    def ancestors(G, source, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            return {back[m] for m in api.ancestors(_lg(G), source, **kw)}
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
 
     @staticmethod
     def descendants_at_distance(G, source, distance, **kw):

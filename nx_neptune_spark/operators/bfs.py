@@ -117,6 +117,29 @@ def descendants_at_distance(
     return lv.where(F.col("level") == distance).select("vid")
 
 
+def descendants(graph: LinkGraph, source: int) -> DataFrame:
+    """DataFrame(vid): all vertices reachable FROM source, source
+    itself excluded (``nx.descendants`` = bfs_tree minus the root —
+    the root never re-enters even on a cycle, matching the visited-set
+    exclusion here). Full closure: the BFS frontier loop runs to
+    emptiness, one join + distinct + anti-join per level."""
+    return (
+        bfs_levels(graph, [source])
+        .where(F.col("vid") != int(source))
+        .select("vid")
+    )
+
+
+def ancestors(graph: LinkGraph, source: int) -> DataFrame:
+    """DataFrame(vid): all vertices that can REACH source
+    (``nx.ancestors``): the same closure over reversed edges."""
+    return (
+        bfs_levels(graph, [source], reverse=True)
+        .where(F.col("vid") != int(source))
+        .select("vid")
+    )
+
+
 def bfs_layers(
     graph: LinkGraph, sources: list[int], reverse: bool = False
 ) -> DataFrame:
