@@ -527,6 +527,39 @@ def q_topo_generations(spark, sf_dir):
     )
 
 
+def q_degree_connectivity(spark, sf_dir):
+    """knn(k) curve (operators/assortativity.py
+    average_degree_connectivity, nx default source=target="in+out")
+    over the _recip_graph fixture. Mirrors nx's DiGraph quirks: the
+    neighbor walk is SUCCESSORS even for "in+out" (nx G.neighbors),
+    and a zero-norm degree class reports the raw sum. Exact integer
+    sums -> one double division, reproduced identically in DuckDB."""
+    from nx_neptune_spark.operators.assortativity import (
+        average_degree_connectivity,
+    )
+
+    g = _recip_graph(spark, sf_dir)
+    return average_degree_connectivity(g).select(
+        "degree", F.round("avg_nbr_degree", 8).alias("avg_nbr_degree")
+    )
+
+
+def q_neighbor_degree(spark, sf_dir):
+    """Per-node average neighbor degree (nx.average_neighbor_degree,
+    source=target="in+out": BOTH-direction walk over total degrees —
+    note this differs from the knn(k) curve's successors-only nx
+    quirk) on the _recip_graph fixture. Integer sum / integer degree
+    -> one exact double division, identical in DuckDB."""
+    from nx_neptune_spark.operators.assortativity import (
+        average_neighbor_degree,
+    )
+
+    g = _recip_graph(spark, sf_dir)
+    return average_neighbor_degree(g, source="in+out", target="in+out").select(
+        "vid", F.round("avg_nbr_degree", 8).alias("avg_nbr_degree")
+    )
+
+
 def q_attracting(spark, sf_dir):
     """Attracting components (operators/condensation.py) on the scc
     fixture: the 14 block-tail singletons {base+7} plus the 7
@@ -1228,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "attracting_components": q_attracting,
         "topo_generations": q_topo_generations,
+        "degree_connectivity": q_degree_connectivity,
+        "neighbor_degree": q_neighbor_degree,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -1929,6 +1964,74 @@ SELECT v AS scc_id, max(d) AS generation FROM g GROUP BY v
 """
 
 
+def _degree_connectivity_sql() -> str:
+    """knn(k) oracle (operators/assortativity.py
+    average_degree_connectivity, source=target="in+out"): total
+    degrees, SUCCESSOR neighbor walk (the nx DiGraph quirk), exact
+    integer sums, zero-norm class = raw sum."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT (i+1) % c, i FROM ids, n WHERE i % 3 = 0
+  UNION ALL SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+od AS (SELECT src AS vid, count(*) AS deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS vid, count(*) AS deg FROM e GROUP BY dst),
+td AS (
+  SELECT i AS vid, coalesce(o.deg, 0) + coalesce(i2.deg, 0) AS deg
+  FROM ids LEFT JOIN od o ON o.vid = i LEFT JOIN id_ i2 ON i2.vid = i),
+nbr_sum AS (
+  SELECT e.src AS vid, sum(t.deg) AS s
+  FROM e JOIN td t ON t.vid = e.dst GROUP BY e.src),
+per_node AS (
+  SELECT t.deg AS k, coalesce(ns.s, 0) AS s
+  FROM td t LEFT JOIN nbr_sum ns ON ns.vid = t.vid),
+grouped AS (
+  SELECT k AS degree, sum(s) AS dsum, sum(k) AS dnorm
+  FROM per_node GROUP BY k)
+SELECT degree,
+       round(CASE WHEN dnorm = 0 THEN CAST(dsum AS DOUBLE)
+             ELSE CAST(dsum AS DOUBLE) / CAST(dnorm AS DOUBLE) END, 8)
+       AS avg_nbr_degree
+FROM grouped
+"""
+
+
+def _neighbor_degree_sql() -> str:
+    """Per-node average neighbor degree oracle (source=target=
+    "in+out"): both-direction neighbor walk, total target degrees,
+    sum/source_degree with exact integer operands."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT (i+1) % c, i FROM ids, n WHERE i % 3 = 0
+  UNION ALL SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+od AS (SELECT src AS vid, count(*) AS deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS vid, count(*) AS deg FROM e GROUP BY dst),
+td AS (
+  SELECT i AS vid, coalesce(o.deg, 0) + coalesce(i2.deg, 0) AS deg
+  FROM ids LEFT JOIN od o ON o.vid = i LEFT JOIN id_ i2 ON i2.vid = i),
+persp AS (
+  SELECT src AS vid, dst AS nbr FROM e
+  UNION ALL SELECT dst, src FROM e),
+nbr_sum AS (
+  SELECT p.vid, sum(t.deg) AS s
+  FROM persp p JOIN td t ON t.vid = p.nbr GROUP BY p.vid)
+SELECT t.vid,
+       round(CASE WHEN t.deg = 0 THEN 0.0
+             ELSE CAST(coalesce(ns.s, 0) AS DOUBLE) / CAST(t.deg AS DOUBLE)
+             END, 8) AS avg_nbr_degree
+FROM td t LEFT JOIN nbr_sum ns ON ns.vid = t.vid
+"""
+
+
 def _attracting_sql() -> str:
     """Attracting-components oracle: members of SCCs that never source
     a cross-component edge."""
@@ -2383,6 +2486,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(),
         "attracting_components": _attracting_sql(),
         "topo_generations": _topo_generations_sql(),
+        "degree_connectivity": _degree_connectivity_sql(),
+        "neighbor_degree": _neighbor_degree_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

@@ -453,6 +453,50 @@ def degree_assortativity_coefficient(
     return _dac(graph, x=x, y=y)
 
 
+def average_degree_connectivity(
+    graph: LinkGraph,
+    source: str = "in+out",
+    target: str = "in+out",
+    nodes=None,
+    weight=None,
+    **ignored,
+) -> dict:
+    """``nx.average_degree_connectivity`` (weight=None shape)."""
+    if weight is not None:
+        raise NotImplementedError("weighted connectivity is not implemented")
+    if nodes is not None:
+        raise NotImplementedError("node-restricted connectivity is not implemented")
+    from .operators.assortativity import average_degree_connectivity as _adc
+
+    rows = _adc(graph, source=source, target=target).collect()
+    # nx reports a zero-norm class (k=0) as the raw int sum
+    return {
+        r["degree"]: (0 if r["degree"] == 0 else r["avg_nbr_degree"]) for r in rows
+    }
+
+
+def average_neighbor_degree(
+    graph: LinkGraph,
+    source: str = "out",
+    target: str = "out",
+    nodes=None,
+    weight=None,
+    **ignored,
+) -> dict:
+    """``nx.average_neighbor_degree`` (weight=None shape)."""
+    if weight is not None:
+        raise NotImplementedError("weighted neighbor degree is not implemented")
+    if nodes is not None:
+        raise NotImplementedError("node-restricted form is not implemented")
+    from .operators.assortativity import average_neighbor_degree as _and
+
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: r["avg_nbr_degree"]
+        for r in _and(graph, source=source, target=target).collect()
+    }
+
+
 def condensation(graph: LinkGraph) -> tuple[dict[int, set], set]:
     """(members: scc_id -> set of node names, comp_edges: set of
     (src_scc_id, dst_scc_id)) — the adapter-scale view of the SCC-DAG;

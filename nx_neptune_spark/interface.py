@@ -53,6 +53,8 @@ ALGORITHMS = [
     "number_strongly_connected_components",
     "condensation",
     "degree_assortativity_coefficient",
+    "average_degree_connectivity",
+    "average_neighbor_degree",
     "weakly_connected_components",
     "number_connected_components",
     "number_weakly_connected_components",
@@ -377,6 +379,34 @@ class BackendInterface:
     @staticmethod
     def number_attracting_components(G, **kw):
         return api.number_attracting_components(_lg(G), **kw)
+
+    @staticmethod
+    def average_degree_connectivity(
+        G, source="in+out", target="in+out", nodes=None, weight=None, **kw
+    ):
+        import networkx as nx
+
+        try:
+            return api.average_degree_connectivity(
+                _lg(G), source=source, target=target, nodes=nodes, weight=weight, **kw
+            )
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+
+    @staticmethod
+    def average_neighbor_degree(
+        G, source="out", target="out", nodes=None, weight=None, **kw
+    ):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.average_neighbor_degree(
+                _lg(G), source=source, target=target, nodes=nodes, weight=weight, **kw
+            )
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        return {back[k]: v for k, v in res.items()}
 
     @staticmethod
     def topological_generations(G, **kw):

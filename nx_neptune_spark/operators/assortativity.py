@@ -101,6 +101,158 @@ def degree_assortativity_coefficient(
     return assortativity_from_pairs(degree_pairs(graph, x, y))
 
 
+def average_degree_connectivity(
+    graph: LinkGraph, source: str = "in+out", target: str = "in+out"
+) -> DataFrame:
+    """``nx.average_degree_connectivity`` (weight=None, nodes=None):
+    DataFrame(degree long, avg_nbr_degree double) — the knn(k) curve,
+    average target-degree of neighbors over all nodes of source-degree
+    k. NetworkX quirks mirrored exactly: on DiGraphs the neighbor set
+    for source="out" AND source="in+out" is the SUCCESSORS (nx's
+    ``G.neighbors``), only source="in" walks predecessors; and a
+    degree class with zero total source-degree (k=0) reports the raw
+    sum (always 0) rather than dividing.
+
+    Plan: degree tables are map-side-combined aggregates; ONE
+    key-partitioned join tags each neighbor perspective with the
+    target degree, one partial agg per node, one dense left join onto
+    the vertex set, ONE final partial agg keyed by the (small-domain)
+    degree value. Output cardinality = distinct degrees."""
+    if not graph.directed and (source != "in+out" or target != "in+out"):
+        raise ValueError(
+            "source and target arguments are only supported for directed graphs"
+        )
+    if source not in ("in", "out", "in+out") or target not in (
+        "in",
+        "out",
+        "in+out",
+    ):
+        raise ValueError('source/target must be "in", "out", or "in+out"')
+    vertices = graph.vertices.select("vid")
+    if graph.directed:
+        e = graph.edges.select("src", "dst").distinct()
+        out_deg, in_deg = _directed_degrees(e)
+        tot_deg = (
+            out_deg.withColumnRenamed("deg", "o")
+            .join(in_deg.withColumnRenamed("deg", "i"), "vid", "full")
+            .select(
+                "vid",
+                (F.coalesce("o", F.lit(0)) + F.coalesce("i", F.lit(0))).alias("deg"),
+            )
+        )
+        pick = {"out": out_deg, "in": in_deg, "in+out": tot_deg}
+        sdeg, tdeg = pick[source], pick[target]
+        # nx walks successors for "out" AND "in+out" (G.neighbors on a
+        # DiGraph), predecessors only for "in"
+        persp = (
+            e.select(F.col("dst").alias("vid"), F.col("src").alias("nbr"))
+            if source == "in"
+            else e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+        )
+    else:
+        e = graph.symmetric_edges().select("src", "dst").distinct()
+        deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+        sdeg = tdeg = deg
+        persp = e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+    nbr_sum = (
+        persp.join(
+            tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")), "nbr"
+        )
+        .groupBy("vid")
+        .agg(F.sum("td").alias("s"))
+    )
+    per_node = (
+        vertices.join(sdeg, "vid", "left")
+        .join(nbr_sum, "vid", "left")
+        .select(
+            F.coalesce("deg", F.lit(0)).alias("k"),
+            F.coalesce("s", F.lit(0)).alias("s"),
+        )
+    )
+    grouped = per_node.groupBy(F.col("k").alias("degree")).agg(
+        F.sum("s").alias("dsum"), F.sum("k").alias("dnorm")
+    )
+    return grouped.select(
+        "degree",
+        F.when(F.col("dnorm") == 0, F.col("dsum").cast("double"))
+        .otherwise(F.col("dsum").cast("double") / F.col("dnorm").cast("double"))
+        .alias("avg_nbr_degree"),
+    )
+
+
+def average_neighbor_degree(
+    graph: LinkGraph, source: str = "out", target: str = "out"
+) -> DataFrame:
+    """``nx.average_neighbor_degree`` (weight=None, nodes=None):
+    DataFrame(vid long, avg_nbr_degree double) — per-node average
+    target-degree over the source-direction neighbor set. NX
+    semantics mirrored exactly: neighbors are predecessors when "in"
+    ∈ source, successors when "out" ∈ source, BOTH for "in+out" (this
+    differs from average_degree_connectivity's successors-only walk);
+    the divisor is source_degree(n); degree-0 nodes report 0.0.
+
+    Plan: same machinery as the knn(k) curve minus the final degree
+    grouping — output cardinality = V."""
+    if not graph.directed and (source != "out" or target != "out"):
+        # nx ignores source/target on undirected graphs (adjacency
+        # walk, plain degree); accept only to mirror defaults loosely
+        pass
+    if graph.directed and (
+        source not in ("in", "out", "in+out")
+        or target not in ("in", "out", "in+out")
+    ):
+        raise ValueError('source/target must be "in", "out", or "in+out"')
+    vertices = graph.vertices.select("vid")
+    if graph.directed:
+        e = graph.edges.select("src", "dst").distinct()
+        out_deg, in_deg = _directed_degrees(e)
+        tot_deg = (
+            out_deg.withColumnRenamed("deg", "o")
+            .join(in_deg.withColumnRenamed("deg", "i"), "vid", "full")
+            .select(
+                "vid",
+                (F.coalesce("o", F.lit(0)) + F.coalesce("i", F.lit(0))).alias("deg"),
+            )
+        )
+        pick = {"out": out_deg, "in": in_deg, "in+out": tot_deg}
+        sdeg, tdeg = pick[source], pick[target]
+        parts = []
+        if "out" in source:
+            parts.append(
+                e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+            )
+        if "in" in source:
+            parts.append(
+                e.select(F.col("dst").alias("vid"), F.col("src").alias("nbr"))
+            )
+        persp = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    else:
+        e = graph.symmetric_edges().select("src", "dst").distinct()
+        deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+        sdeg = tdeg = deg
+        persp = e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+    nbr_sum = (
+        persp.join(
+            tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")), "nbr"
+        )
+        .groupBy("vid")
+        .agg(F.sum("td").alias("s"))
+    )
+    return (
+        vertices.join(sdeg, "vid", "left")
+        .join(nbr_sum, "vid", "left")
+        .select(
+            "vid",
+            F.when(F.coalesce("deg", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("s", F.lit(0)).cast("double")
+                / F.col("deg").cast("double")
+            )
+            .alias("avg_nbr_degree"),
+        )
+    )
+
+
 def directed_assortativity_profile(graph: LinkGraph) -> DataFrame:
     """All four directed coefficients in ONE lazy plan / one pass:
     1-row DataFrame(r_out_in, r_out_out, r_in_in, r_in_out double).

@@ -73,3 +73,116 @@ def test_dispatch(spark):
     got = nx.degree_assortativity_coefficient(g, backend="spark")
     want = nx.degree_assortativity_coefficient(g)
     assert math.isclose(got, want, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------- knn(k) curve
+
+
+def nx_adc(g, **kw):
+    return {k: float(v) for k, v in nx.average_degree_connectivity(g, **kw).items()}
+
+
+def spark_adc(spark, g, **kw):
+    from nx_neptune_spark import api
+
+    return {
+        k: float(v)
+        for k, v in api.average_degree_connectivity(
+            LinkGraph.from_networkx(spark, g), **kw
+        ).items()
+    }
+
+
+def test_adc_undirected(spark):
+    g = two_triangles_bridge()
+    g.add_node("iso")  # degree-0 class: nx reports raw 0
+    got, want = spark_adc(spark, g), nx_adc(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+@pytest.mark.parametrize(
+    "src,tgt",
+    [("in+out", "in+out"), ("out", "in"), ("in", "out"), ("out", "out"), ("in", "in")],
+)
+def test_adc_directed(spark, src, tgt):
+    g = gnp_digraph()
+    got = spark_adc(spark, g, source=src, target=tgt)
+    want = nx_adc(g, source=src, target=tgt)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+def test_adc_undirected_rejects_source(spark):
+    g = two_triangles_bridge()
+    from nx_neptune_spark import api
+
+    with pytest.raises(ValueError, match="directed"):
+        api.average_degree_connectivity(LinkGraph.from_networkx(spark, g), source="in")
+
+
+def test_adc_dispatch(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = gnp_digraph()
+    got = nx.average_degree_connectivity(g, source="out", target="in", backend="spark")
+    want = nx.average_degree_connectivity(g, source="out", target="in")
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+# ------------------------------------------------------ per-node knn
+
+
+def nx_and(g, **kw):
+    return {str(k): float(v) for k, v in nx.average_neighbor_degree(g, **kw).items()}
+
+
+def spark_and(spark, g, **kw):
+    from nx_neptune_spark import api
+
+    return {
+        k: float(v)
+        for k, v in api.average_neighbor_degree(
+            LinkGraph.from_networkx(spark, g), **kw
+        ).items()
+    }
+
+
+def test_and_undirected(spark):
+    g = two_triangles_bridge()
+    g.add_node("iso")
+    got, want = spark_and(spark, g), nx_and(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+@pytest.mark.parametrize(
+    "src,tgt",
+    [("out", "out"), ("out", "in"), ("in", "out"), ("in+out", "in+out"),
+     ("in+out", "in")],
+)
+def test_and_directed(spark, src, tgt):
+    g = gnp_digraph()
+    got = spark_and(spark, g, source=src, target=tgt)
+    want = nx_and(g, source=src, target=tgt)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+def test_and_dispatch(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = gnp_digraph()
+    got = nx.average_neighbor_degree(g, source="in+out", target="out", backend="spark")
+    want = nx.average_neighbor_degree(g, source="in+out", target="out")
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), k
