@@ -211,6 +211,30 @@ def _scc_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
 
 
+BIP_N = 200  # connected bipartite core; 8 trailing isolates
+
+
+def _bip_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Undirected bipartite-by-parity: hub 0 -- every odd j < BIP_N,
+    plus (i, i+1) for even i — every edge joins even<->odd, the whole
+    core is within 2 hops of hub 0 (ONE component, min vid 0 = root,
+    3 BFS rounds), and vertices extend to BIP_N+8 so the last 8 are
+    isolates (nx colors isolates 0). The hub also exercises the
+    skewed-frontier path of the parity BFS."""
+    ids, _ = _ids_n(spark, sf_dir)
+    verts = ids.where(F.col("i") < BIP_N + 8)
+    conn = ids.where(F.col("i") < BIP_N)
+    star = conn.where(F.col("i") % 2 == 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("i").alias("dst")
+    )
+    pair = conn.where((F.col("i") % 2 == 0) & (F.col("i") + 1 < BIP_N)).select(
+        F.col("i").alias("src"), (F.col("i") + 1).alias("dst")
+    )
+    return LinkGraph(
+        star.unionByName(pair), verts.select(F.col("i").alias("vid")), directed=False
+    )
+
+
 def _recip_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """Directed ring i->(i+1)%n, reciprocated back-edge only when
     i%3==0, plus a chord i->(i+7)%n when i%5==0: vertices fall into
@@ -558,6 +582,69 @@ def q_neighbor_degree(spark, sf_dir):
     return average_neighbor_degree(g, source="in+out", target="in+out").select(
         "vid", F.round("avg_nbr_degree", 8).alias("avg_nbr_degree")
     )
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club curve phi(k) = 2*E_k / (N_k*(N_k-1)) (operators/
+    structure.py, nx richclub semantics incl. the min-endpoint-degree
+    edge survival rule) over the circulant+10-clique fixture — the
+    clique is a literal rich club (deg-11 vertices stay fully wired as
+    k rises), so the curve has a real signal. Exact-integer counts,
+    one IEEE division per k, reproduced identically in DuckDB."""
+    from nx_neptune_spark.operators.structure import rich_club_coefficient
+
+    g = _truss_graph(spark, sf_dir)
+    return rich_club_coefficient(g).select(
+        "k", F.round("phi", 12).alias("phi")
+    )
+
+
+def q_effective_size(spark, sf_dir):
+    """Burt/Borgatti effective size e(u) = deg - 2*T(u)/deg
+    (operators/structure.py over the shared degree-oriented triangle
+    plan) on the circulant+10-clique fixture: ring vertices, clique
+    members and the boundary all get distinct (deg, T) mixes. Exact
+    integers -> one IEEE division, identical in DuckDB."""
+    from nx_neptune_spark.operators.structure import effective_size
+
+    g = _truss_graph(spark, sf_dir)
+    return effective_size(g).select(
+        "vid", F.round("effective_size", 12).alias("effective_size")
+    )
+
+
+def q_structure_summary(spark, sf_dir):
+    """One-row (s_metric, global_efficiency) over the 120-vertex chain
+    graph (operators/structure.py): s-metric = sum of deg(u)*deg(v)
+    over edges; efficiency = sum of reciprocal BFS distances over
+    ordered pairs / (n*(n-1)) — the harmonic-centrality machinery
+    aggregated to Latora-Marchiori form. Both stay in-plan (no driver
+    scalar): the count joins in as a 1-row cross-join."""
+    from nx_neptune_spark.operators.structure import (
+        global_efficiency_frame,
+        s_metric_frame,
+    )
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    return (
+        s_metric_frame(g)
+        .crossJoin(global_efficiency_frame(g))
+        .select(
+            F.round("s_metric", 6).alias("s_metric"),
+            F.round("global_efficiency", 8).alias("global_efficiency"),
+        )
+    )
+
+
+def q_bipartite_color(spark, sf_dir):
+    """Parity-BFS two-coloring (operators/bipartite.py) on the
+    bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
+    layer 1, trailing isolates 0 (nx.bipartite.color conventions).
+    Integer output — bit-exact vs the DuckDB BFS closure."""
+    from nx_neptune_spark.operators.bipartite import bipartite_color
+
+    g = _bip_graph(spark, sf_dir)
+    return bipartite_color(g)
 
 
 def q_attracting(spark, sf_dir):
@@ -1263,6 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_generations": q_topo_generations,
         "degree_connectivity": q_degree_connectivity,
         "neighbor_degree": q_neighbor_degree,
+        "rich_club": q_rich_club,
+        "effective_size": q_effective_size,
+        "structure_summary": q_structure_summary,
+        "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
@@ -2032,6 +2123,141 @@ FROM td t LEFT JOIN nbr_sum ns ON ns.vid = t.vid
 """
 
 
+def _truss_und_edges_cte() -> str:
+    """Shared CTE prefix: the circulant(1,2)+10-clique fixture reduced
+    to its undirected simple projection e(u, v) plus per-vertex simple
+    degrees dv(vid, deg) — the inputs of the degree-structure oracles."""
+    return """
+n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+  UNION ALL SELECT a.i, b.i FROM ids a JOIN ids b ON a.i < 10 AND b.i < 10 AND a.i < b.i
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+dv AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT u AS vid FROM e UNION ALL SELECT v FROM e) z GROUP BY vid)"""
+
+
+def _rich_club_sql() -> str:
+    """Rich-club oracle (operators/structure.py rich_club_coefficient,
+    nx _compute_rc semantics): N_k = #non-isolates − #nodes with
+    deg <= k, E_k = m − #edges with min endpoint degree <= k, phi for
+    every k with N_k > 1, over a dense recursive 0..maxdeg spine with
+    cumulative window sums — the same arithmetic the Spark plan runs."""
+    return f"""
+WITH RECURSIVE
+{_truss_und_edges_cte()},
+spine(k) AS (
+  SELECT 0
+  UNION ALL SELECT k + 1 FROM spine WHERE k < (SELECT max(deg) FROM dv)),
+hist AS (SELECT deg AS k, count(*) AS cnt FROM dv GROUP BY deg),
+emin AS (
+  SELECT least(d1.deg, d2.deg) AS k, count(*) AS ecnt
+  FROM e JOIN dv d1 ON d1.vid = e.u JOIN dv d2 ON d2.vid = e.v
+  GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM e) AS m, (SELECT count(*) FROM dv) AS nd),
+dense AS (
+  SELECT s.k,
+         sum(coalesce(h.cnt, 0)) OVER (ORDER BY s.k) AS nodes_le,
+         sum(coalesce(em.ecnt, 0)) OVER (ORDER BY s.k) AS edges_le
+  FROM spine s LEFT JOIN hist h ON h.k = s.k LEFT JOIN emin em ON em.k = s.k)
+SELECT CAST(d.k AS BIGINT) AS k,
+       round(2.0 * (t.m - d.edges_le)
+             / (CAST(t.nd - d.nodes_le AS DOUBLE) * (t.nd - d.nodes_le - 1)),
+             12) AS phi
+FROM dense d, tot t
+WHERE t.nd - d.nodes_le > 1
+"""
+
+
+def _effective_size_sql() -> str:
+    """Effective-size oracle (operators/structure.py effective_size):
+    per-vertex triangle counts via the ordered three-way self-join
+    (same device as _clustering_sql), e(u) = deg − 2t/deg, NULL for
+    degree-0 vertices (nx: NaN)."""
+    return f"""
+WITH
+{_truss_und_edges_cte()},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tv AS (
+  SELECT vid, count(*) AS t FROM (
+    SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) z GROUP BY vid)
+SELECT i AS vid,
+       round(CASE WHEN coalesce(d.deg, 0) > 0
+                  THEN d.deg - 2.0 * coalesce(t.t, 0) / d.deg
+                  ELSE NULL END, 12) AS effective_size
+FROM ids LEFT JOIN tv t ON t.vid = i LEFT JOIN dv d ON d.vid = i
+"""
+
+
+def _structure_summary_sql() -> str:
+    """s-metric + global-efficiency oracle over the 120-vertex chain
+    (operators/structure.py): per-edge degree products summed, and the
+    harmonic BFS closure (same device as _harmonic_sql) collapsed to
+    Latora-Marchiori efficiency."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids
+       WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
+dv AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT u AS vid FROM ch UNION ALL SELECT v FROM ch) z GROUP BY vid),
+sm AS (
+  SELECT sum(CAST(d1.deg AS DOUBLE) * d2.deg) AS s
+  FROM ch JOIN dv d1 ON d1.vid = ch.u JOIN dv d2 ON d2.vid = ch.v),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+d(s, v, dist) AS (
+  SELECT i, i, 0 FROM ids
+  UNION
+  SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v
+  WHERE dd.dist < 40
+),
+md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v),
+h AS (SELECT sum(1.0 / dist) AS tot FROM md WHERE dist > 0)
+SELECT round((SELECT s FROM sm), 6) AS s_metric,
+       round((SELECT tot FROM h)
+             / ({CLOSENESS_N}.0 * {CLOSENESS_N - 1}.0), 8) AS global_efficiency
+"""
+
+
+def _bipartite_color_sql() -> str:
+    """Two-coloring oracle on the bipartite star+pairs fixture
+    (operators/bipartite.py): BFS distances from the component root 0
+    (the fixture's single non-trivial component has min vid 0),
+    color = 1 − dist mod 2, isolates 0."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {BIP_N + 8}),
+conn AS (SELECT i FROM ids WHERE i < {BIP_N}),
+raw AS (
+  SELECT 0 AS src, i AS dst FROM conn WHERE i % 2 = 1
+  UNION ALL SELECT i, i + 1 FROM conn WHERE i % 2 = 0 AND i + 1 < {BIP_N}
+),
+sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+d(v, dist) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v
+  WHERE dd.dist < 6
+),
+md AS (SELECT v, min(dist) AS dist FROM d GROUP BY v)
+SELECT i AS vid,
+       CAST(CASE WHEN md.v IS NULL THEN 0 ELSE 1 - (md.dist % 2) END AS INT)
+       AS color
+FROM ids LEFT JOIN md ON md.v = i
+"""
+
+
 def _attracting_sql() -> str:
     """Attracting-components oracle: members of SCCs that never source
     a cross-component edge."""
@@ -2488,6 +2714,10 @@ def oracle_sql() -> dict[str, str]:
         "topo_generations": _topo_generations_sql(),
         "degree_connectivity": _degree_connectivity_sql(),
         "neighbor_degree": _neighbor_degree_sql(),
+        "rich_club": _rich_club_sql(),
+        "effective_size": _effective_size_sql(),
+        "structure_summary": _structure_summary_sql(),
+        "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"
             " count(*) AS dup_count FROM documents GROUP BY md5(text)"

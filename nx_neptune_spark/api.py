@@ -553,6 +553,86 @@ def average_clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
     return _ac(graph, count_zeros=count_zeros)
 
 
+def s_metric(graph: LinkGraph, **ignored) -> float:
+    """``nx.s_metric`` shape (float)."""
+    from .operators.structure import s_metric as _sm
+
+    return _sm(graph)
+
+
+def global_efficiency(graph: LinkGraph) -> float:
+    """``nx.global_efficiency`` shape (float; undirected only)."""
+    from .operators.structure import global_efficiency as _ge
+
+    return _ge(graph)
+
+
+def rich_club_coefficient(
+    graph: LinkGraph, normalized: bool = True, Q: float = 100, seed=None
+) -> dict:
+    """``nx.rich_club_coefficient`` shape: {k: phi}. nx's default
+    ``normalized=True`` needs the sequential double-edge-swap null
+    model — NotImplementedError here; pass normalized=False."""
+    from .operators.structure import rich_club_coefficient as _rc
+
+    rows = _rc(graph, normalized=normalized).collect()
+    return {int(r["k"]): float(r["phi"]) for r in rows}
+
+
+def effective_size(graph: LinkGraph, nodes=None, weight=None) -> dict:
+    """``nx.effective_size`` shape: {node: e(u)} with NaN for
+    isolates (unweighted undirected form only)."""
+    if weight is not None:
+        raise NotImplementedError(
+            "weighted effective size (general mutual-weight formula) is "
+            "not implemented"
+        )
+    from .operators.structure import effective_size as _es
+
+    vids = None
+    if nodes is not None:
+        vid_of = graph.vid_of()
+        vids = [vid_of[str(n)] for n in nodes]
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: (
+            float("nan") if r["effective_size"] is None else r["effective_size"]
+        )
+        for r in _es(graph, nodes=vids).collect()
+    }
+
+
+def isolates(graph: LinkGraph) -> Iterable:
+    """``nx.isolates`` shape (iterator of nodes)."""
+    from .operators.structure import isolates as _iso
+
+    name_of = graph.name_of()
+    return iter(sorted(name_of[r["vid"]] for r in _iso(graph).collect()))
+
+
+def number_of_isolates(graph: LinkGraph) -> int:
+    from .operators.structure import number_of_isolates as _niso
+
+    return _niso(graph)
+
+
+def bipartite_color(graph: LinkGraph) -> dict:
+    """``nx.bipartite.color`` shape: {node: 1|0}. Proper-2-coloring
+    parity with root = min vid per component (see
+    operators/bipartite.py for the nx-ordering caveat); raises
+    ValueError on non-bipartite input where nx raises NetworkXError."""
+    from .operators.bipartite import bipartite_color as _bc
+
+    name_of = graph.name_of()
+    return {name_of[r["vid"]]: int(r["color"]) for r in _bc(graph).collect()}
+
+
+def is_bipartite(graph: LinkGraph) -> bool:
+    from .operators.bipartite import is_bipartite as _ib
+
+    return _ib(graph)
+
+
 def reciprocity(graph: LinkGraph, nodes=None) -> dict | float:
     """``nx.reciprocity`` shape: whole-graph scalar without `nodes`,
     scalar for a single node (raising NetworkXError for isolated

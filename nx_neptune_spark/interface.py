@@ -53,8 +53,17 @@ ALGORITHMS = [
     "number_strongly_connected_components",
     "condensation",
     "degree_assortativity_coefficient",
+    "degree_pearson_correlation_coefficient",
     "average_degree_connectivity",
     "average_neighbor_degree",
+    "s_metric",
+    "global_efficiency",
+    "rich_club_coefficient",
+    "effective_size",
+    "isolates",
+    "number_of_isolates",
+    "is_bipartite",
+    "color",
     "weakly_connected_components",
     "number_connected_components",
     "number_weakly_connected_components",
@@ -437,6 +446,66 @@ class BackendInterface:
         return api.degree_assortativity_coefficient(
             _lg(G), x=x, y=y, weight=weight, nodes=nodes, **kw
         )
+
+    @staticmethod
+    def degree_pearson_correlation_coefficient(
+        G, x="out", y="in", weight=None, nodes=None, **kw
+    ):
+        # identical quantity to degree assortativity (nx computes it
+        # via scipy.stats.pearsonr; the exact-sum path here is the
+        # same estimator)
+        return api.degree_assortativity_coefficient(
+            _lg(G), x=x, y=y, weight=weight, nodes=nodes, **kw
+        )
+
+    @staticmethod
+    def s_metric(G, **kw):
+        return api.s_metric(_lg(G), **kw)
+
+    @staticmethod
+    def global_efficiency(G, **kw):
+        return api.global_efficiency(_lg(G))
+
+    @staticmethod
+    def rich_club_coefficient(G, normalized=True, Q=100, seed=None, **kw):
+        import networkx as nx
+
+        try:
+            return api.rich_club_coefficient(
+                _lg(G), normalized=normalized, Q=Q, seed=seed
+            )
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+
+    @staticmethod
+    def effective_size(G, nodes=None, weight=None, **kw):
+        back = _back(G)
+        res = api.effective_size(_lg(G), nodes=nodes, weight=weight)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def isolates(G, **kw):
+        back = _back(G)
+        return iter([back[k] for k in api.isolates(_lg(G))])
+
+    @staticmethod
+    def number_of_isolates(G, **kw):
+        return api.number_of_isolates(_lg(G))
+
+    @staticmethod
+    def is_bipartite(G, **kw):
+        return api.is_bipartite(_lg(G))
+
+    @staticmethod
+    def color(G, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.bipartite_color(_lg(G))
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        return {back[k]: v for k, v in res.items()}
 
     @staticmethod
     def condensation(G, scc=None, **kw):

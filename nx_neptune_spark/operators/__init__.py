@@ -19,3 +19,12 @@ from .condensation import condensation  # noqa: F401
 from .assortativity import degree_assortativity_coefficient  # noqa: F401
 from .toposort import topological_generations  # noqa: F401
 from .katz import katz_centrality  # noqa: F401
+from .structure import (  # noqa: F401
+    effective_size,
+    global_efficiency,
+    isolates,
+    number_of_isolates,
+    rich_club_coefficient,
+    s_metric,
+)
+from .bipartite import bipartite_color, is_bipartite  # noqa: F401
