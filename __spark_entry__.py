@@ -211,6 +211,33 @@ def _scc_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
 
 
+TRIAD_N = 120  # triad-census fixture size: C(120,3) = 280,840 triples
+
+
+def _triad_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed, 120 vertices: ring i->(i+1), reciprocated back-edge
+    when i%3==0, chord i->(i+7) when i%5==0 (all mod 120) — the
+    _recip_graph wiring at brute-force-oracle scale. Mixes mutual and
+    asym dyads so 10 of the 16 triad classes are nonzero and both
+    subtraction identities (012/102) carry real weight."""
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < TRIAD_N)
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % TRIAD_N).alias("dst")
+    )
+    back = ids.where(F.col("i") % 3 == 0).select(
+        ((F.col("i") + 1) % TRIAD_N).alias("src"), F.col("i").alias("dst")
+    )
+    chord = ids.where(F.col("i") % 5 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % TRIAD_N).alias("dst")
+    )
+    edges = (
+        ring.unionByName(back).unionByName(chord)
+        .where(F.col("src") != F.col("dst"))
+    )
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+
+
 BIP_N = 200  # connected bipartite core; 8 trailing isolates
 
 
@@ -645,6 +672,22 @@ def q_bipartite_color(spark, sf_dir):
 
     g = _bip_graph(spark, sf_dir)
     return bipartite_color(g)
+
+
+def q_triadic_census(spark, sf_dir):
+    """Davis-Leinhardt triad census (operators/triads.py: wedge
+    enumeration over linked dyads + 64-code classification + the three
+    subtraction identities) on the 120-vertex directed ring+back+chord
+    fixture. The oracle brute-forces ALL C(120,3) triples with six
+    edge left-joins — a genuinely independent counting path; the
+    64-code->name table is shared but separately nx-validated
+    (tests/test_triads.py::test_code_table_matches_networkx).
+    DECIMAL(38,0) counts both sides (C(n,3) overflows int64 at web
+    scale)."""
+    from nx_neptune_spark.operators.triads import triadic_census
+
+    g = _triad_graph(spark, sf_dir)
+    return triadic_census(g)
 
 
 def q_attracting(spark, sf_dir):
@@ -1350,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_generations": q_topo_generations,
         "degree_connectivity": q_degree_connectivity,
         "neighbor_degree": q_neighbor_degree,
+        "triadic_census": q_triadic_census,
         "rich_club": q_rich_club,
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
@@ -2258,6 +2302,56 @@ FROM ids LEFT JOIN md ON md.v = i
 """
 
 
+def _triadic_census_sql() -> str:
+    """Brute-force census oracle: enumerate every x<y<z triple of the
+    120-vertex fixture, classify via six edge left-joins into the
+    6-bit code, map code->name through an inline 64-row VALUES table
+    (the module's CODE_NAMES literal, independently nx-validated in
+    tests/test_triads.py), count per class with zeros kept."""
+    from nx_neptune_spark.operators.triads import CODE_NAMES, TRIAD_NAMES
+
+    codes = ",\n  ".join(
+        f"({i}, '{nm}')" for i, nm in enumerate(CODE_NAMES)
+    )
+    names = ", ".join(f"('{nm}')" for nm in TRIAD_NAMES)
+    return f"""
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {TRIAD_N}),
+raw AS (
+  SELECT i AS src, (i+1) % {TRIAD_N} AS dst FROM ids
+  UNION ALL SELECT (i+1) % {TRIAD_N}, i FROM ids WHERE i % 3 = 0
+  UNION ALL SELECT i, (i+7) % {TRIAD_N} FROM ids WHERE i % 5 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+t AS (
+  SELECT a.i AS x, b.i AS y, c.i AS z
+  FROM ids a JOIN ids b ON a.i < b.i JOIN ids c ON b.i < c.i),
+coded AS (
+  SELECT
+    (CASE WHEN e1.src IS NULL THEN 0 ELSE 1 END)
+  + (CASE WHEN e2.src IS NULL THEN 0 ELSE 2 END)
+  + (CASE WHEN e3.src IS NULL THEN 0 ELSE 4 END)
+  + (CASE WHEN e4.src IS NULL THEN 0 ELSE 8 END)
+  + (CASE WHEN e5.src IS NULL THEN 0 ELSE 16 END)
+  + (CASE WHEN e6.src IS NULL THEN 0 ELSE 32 END) AS code
+  FROM t
+  LEFT JOIN e e1 ON e1.src = t.x AND e1.dst = t.y
+  LEFT JOIN e e2 ON e2.src = t.y AND e2.dst = t.x
+  LEFT JOIN e e3 ON e3.src = t.x AND e3.dst = t.z
+  LEFT JOIN e e4 ON e4.src = t.z AND e4.dst = t.x
+  LEFT JOIN e e5 ON e5.src = t.y AND e5.dst = t.z
+  LEFT JOIN e e6 ON e6.src = t.z AND e6.dst = t.y),
+codemap(code, triad) AS (VALUES
+  {codes}),
+names(triad) AS (VALUES {names}),
+counted AS (
+  SELECT cm.triad, count(*) AS cnt
+  FROM coded c JOIN codemap cm ON cm.code = c.code GROUP BY cm.triad)
+SELECT nm.triad,
+       CAST(coalesce(ct.cnt, 0) AS DECIMAL(38,0)) AS "count"
+FROM names nm LEFT JOIN counted ct ON ct.triad = nm.triad
+"""
+
+
 def _attracting_sql() -> str:
     """Attracting-components oracle: members of SCCs that never source
     a cross-component edge."""
@@ -2714,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "topo_generations": _topo_generations_sql(),
         "degree_connectivity": _degree_connectivity_sql(),
         "neighbor_degree": _neighbor_degree_sql(),
+        "triadic_census": _triadic_census_sql(),
         "rich_club": _rich_club_sql(),
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),

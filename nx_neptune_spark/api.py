@@ -633,6 +633,18 @@ def is_bipartite(graph: LinkGraph) -> bool:
     return _ib(graph)
 
 
+def triadic_census(graph: LinkGraph, nodelist=None) -> dict:
+    """``nx.triadic_census`` shape: {triad_name: count}, all 16
+    classes, nx key order. ``nodelist`` is not implemented (the
+    subset-census bookkeeping is a different operator)."""
+    if nodelist is not None:
+        raise NotImplementedError("triadic_census nodelist is not implemented")
+    from .operators.triads import TRIAD_NAMES, triadic_census as _tc
+
+    got = {r["triad"]: int(r["count"]) for r in _tc(graph).collect()}
+    return {nm: got[nm] for nm in TRIAD_NAMES}
+
+
 def reciprocity(graph: LinkGraph, nodes=None) -> dict | float:
     """``nx.reciprocity`` shape: whole-graph scalar without `nodes`,
     scalar for a single node (raising NetworkXError for isolated

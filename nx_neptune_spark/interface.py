@@ -57,6 +57,7 @@ ALGORITHMS = [
     "average_degree_connectivity",
     "average_neighbor_degree",
     "s_metric",
+    "triadic_census",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -457,6 +458,10 @@ class BackendInterface:
         return api.degree_assortativity_coefficient(
             _lg(G), x=x, y=y, weight=weight, nodes=nodes, **kw
         )
+
+    @staticmethod
+    def triadic_census(G, nodelist=None, **kw):
+        return api.triadic_census(_lg(G), nodelist=nodelist)
 
     @staticmethod
     def s_metric(G, **kw):

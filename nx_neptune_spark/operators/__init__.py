@@ -28,3 +28,4 @@ from .structure import (  # noqa: F401
     s_metric,
 )
 from .bipartite import bipartite_color, is_bipartite  # noqa: F401
+from .triads import triadic_census  # noqa: F401
