@@ -238,6 +238,28 @@ def _triad_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
 
 
+VOTERANK_K = 6  # elected seeds in the contract query / unrolled oracle
+VOTE_OFFSETS = (1, 2, 5, 11)  # out-degree-4-regular ring chords
+
+
+def _vote_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed 4-out-regular circulant: i -> (i+o)%n for o in
+    {1,2,5,11}. avg out-degree is EXACTLY 4, so the VoteRank weaken
+    step 1/avgDegree = 0.25 keeps every ability a dyadic rational
+    ({1, .75, .5, .25, 0}) — sums of such values are exact doubles
+    independent of accumulation order, making the unrolled oracle
+    bit-safe across engines. Ties resolve by min vid in BOTH engines
+    (vids are the integer doc_ids)."""
+    ids, n = _ids_n(spark, sf_dir)
+    e = None
+    for off in VOTE_OFFSETS:
+        part = ids.select(
+            F.col("i").alias("src"), ((F.col("i") + off) % n).alias("dst")
+        )
+        e = part if e is None else e.unionByName(part)
+    return LinkGraph(e, ids.select(F.col("i").alias("vid")), directed=True)
+
+
 BIP_N = 200  # connected bipartite core; 8 trailing isolates
 
 
@@ -672,6 +694,19 @@ def q_bipartite_color(spark, sf_dir):
 
     g = _bip_graph(spark, sf_dir)
     return bipartite_color(g)
+
+
+def q_voterank(spark, sf_dir):
+    """VoteRank seed election (operators/voterank.py, Zhang 2016) on
+    the 4-out-regular circulant: 6 rounds of vote -> elect ->
+    weaken-by-0.25. The regular degree pins 1/avgDegree to an exact
+    dyadic, so scores are order-independent exact doubles and the
+    6-round unrolled DuckDB oracle (same argmax ORDER BY score DESC,
+    vid) matches bit-for-bit."""
+    from nx_neptune_spark.operators.voterank import voterank
+
+    g = _vote_graph(spark, sf_dir)
+    return voterank(g, number_of_nodes=VOTERANK_K)
 
 
 def q_triadic_census(spark, sf_dir):
@@ -1394,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_connectivity": q_degree_connectivity,
         "neighbor_degree": q_neighbor_degree,
         "triadic_census": q_triadic_census,
+        "voterank": q_voterank,
         "rich_club": q_rich_club,
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
@@ -2302,6 +2338,52 @@ FROM ids LEFT JOIN md ON md.v = i
 """
 
 
+def _voterank_sql(k: int = None) -> str:
+    """Unrolled VoteRank oracle (operators/voterank.py): k rounds of
+    score = Σ ability(out-nbr), argmax by (score DESC, vid), elected
+    silenced, out-neighbors weakened by exactly 0.25 (the regular
+    fixture's 1/avgDegree — dyadic, so double sums are exact and
+    order-independent in both engines)."""
+    k = k or VOTERANK_K
+    offs = " UNION ALL ".join(
+        f"SELECT i AS src, (i+{o}) % c AS dst FROM ids, n" for o in VOTE_OFFSETS
+    )
+    parts = [
+        f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+e AS MATERIALIZED ({offs}),
+a0 AS (SELECT i AS vid, 1.0::DOUBLE AS ab FROM ids)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"a{r - 1}"
+        elected = (
+            " WHERE s.vid NOT IN (" +
+            " UNION ALL ".join(f"SELECT vid FROM w{j}" for j in range(1, r)) + ")"
+            if r > 1
+            else ""
+        )
+        parts.append(f"""
+s{r} AS (
+  SELECT e.src AS vid, sum(a.ab) AS score
+  FROM e JOIN {prev} a ON a.vid = e.dst GROUP BY e.src),
+w{r} AS (
+  SELECT s.vid, {r - 1} AS rank FROM s{r} s{elected}
+  ORDER BY s.score DESC, s.vid LIMIT 1),
+a{r} AS (
+  SELECT p.vid,
+         CASE WHEN p.vid = (SELECT vid FROM w{r}) THEN 0.0
+              WHEN p.vid IN (SELECT e.dst FROM e
+                             WHERE e.src = (SELECT vid FROM w{r}))
+                THEN greatest(p.ab - 0.25, 0.0)
+              ELSE p.ab END AS ab
+  FROM {prev} p)""")
+        # note: w{r} keeps only positive-score rows implicitly — the
+        # regular fixture never drains to zero within k rounds
+    union = " UNION ALL ".join(f"SELECT rank, vid FROM w{j}" for j in range(1, k + 1))
+    return ",".join(parts) + f"\nSELECT CAST(rank AS INT) AS rank, vid FROM ({union})"
+
+
 def _triadic_census_sql() -> str:
     """Brute-force census oracle: enumerate every x<y<z triple of the
     120-vertex fixture, classify via six edge left-joins into the
@@ -2809,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_connectivity": _degree_connectivity_sql(),
         "neighbor_degree": _neighbor_degree_sql(),
         "triadic_census": _triadic_census_sql(),
+        "voterank": _voterank_sql(),
         "rich_club": _rich_club_sql(),
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),

@@ -633,6 +633,15 @@ def is_bipartite(graph: LinkGraph) -> bool:
     return _ib(graph)
 
 
+def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> list:
+    """``nx.voterank`` shape: ordered list of elected seed nodes."""
+    from .operators.voterank import voterank as _vr
+
+    name_of = graph.name_of()
+    rows = _vr(graph, number_of_nodes=number_of_nodes).collect()
+    return [name_of[r["vid"]] for r in sorted(rows, key=lambda r: r["rank"])]
+
+
 def triadic_census(graph: LinkGraph, nodelist=None) -> dict:
     """``nx.triadic_census`` shape: {triad_name: count}, all 16
     classes, nx key order. ``nodelist`` is not implemented (the

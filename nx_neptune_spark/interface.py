@@ -58,6 +58,7 @@ ALGORITHMS = [
     "average_neighbor_degree",
     "s_metric",
     "triadic_census",
+    "voterank",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -462,6 +463,13 @@ class BackendInterface:
     @staticmethod
     def triadic_census(G, nodelist=None, **kw):
         return api.triadic_census(_lg(G), nodelist=nodelist)
+
+    @staticmethod
+    def voterank(G, number_of_nodes=None, **kw):
+        back = _back(G)
+        return [
+            back[v] for v in api.voterank(_lg(G), number_of_nodes=number_of_nodes)
+        ]
 
     @staticmethod
     def s_metric(G, **kw):
