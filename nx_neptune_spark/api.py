@@ -441,16 +441,15 @@ def topological_sort(graph: LinkGraph) -> Iterable:
 def degree_assortativity_coefficient(
     graph: LinkGraph, x: str = "out", y: str = "in", weight=None, nodes=None
 ) -> float:
-    """``nx.degree_assortativity_coefficient`` (weight=None shape)."""
-    if weight is not None:
-        raise NotImplementedError("weighted assortativity is not implemented")
+    """``nx.degree_assortativity_coefficient`` (weighted form uses
+    strengths with edge-weight sample multiplicity)."""
     if nodes is not None:
         raise NotImplementedError("node-restricted assortativity is not implemented")
     from .operators.assortativity import (
         degree_assortativity_coefficient as _dac,
     )
 
-    return _dac(graph, x=x, y=y)
+    return _dac(graph, x=x, y=y, weight=weight)
 
 
 def average_degree_connectivity(
@@ -461,14 +460,15 @@ def average_degree_connectivity(
     weight=None,
     **ignored,
 ) -> dict:
-    """``nx.average_degree_connectivity`` (weight=None shape)."""
-    if weight is not None:
-        raise NotImplementedError("weighted connectivity is not implemented")
+    """``nx.average_degree_connectivity`` shape (weighted = Barrat
+    strength normalization)."""
     if nodes is not None:
         raise NotImplementedError("node-restricted connectivity is not implemented")
     from .operators.assortativity import average_degree_connectivity as _adc
 
-    rows = _adc(graph, source=source, target=target).collect()
+    rows = _adc(graph, source=source, target=target, weight=weight).collect()
+    if weight is not None:
+        return {r["degree"]: r["avg_nbr_degree"] for r in rows}
     # nx reports a zero-norm class (k=0) as the raw int sum
     return {
         r["degree"]: (0 if r["degree"] == 0 else r["avg_nbr_degree"]) for r in rows
@@ -483,9 +483,7 @@ def average_neighbor_degree(
     weight=None,
     **ignored,
 ) -> dict:
-    """``nx.average_neighbor_degree`` (weight=None shape)."""
-    if weight is not None:
-        raise NotImplementedError("weighted neighbor degree is not implemented")
+    """``nx.average_neighbor_degree`` shape."""
     if nodes is not None:
         raise NotImplementedError("node-restricted form is not implemented")
     from .operators.assortativity import average_neighbor_degree as _and
@@ -493,7 +491,7 @@ def average_neighbor_degree(
     name_of = graph.name_of()
     return {
         name_of[r["vid"]]: r["avg_nbr_degree"]
-        for r in _and(graph, source=source, target=target).collect()
+        for r in _and(graph, source=source, target=target, weight=weight).collect()
     }
 
 

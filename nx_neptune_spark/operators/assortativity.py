@@ -66,10 +66,23 @@ def degree_pairs(graph: LinkGraph, x: str = "out", y: str = "in") -> DataFrame:
             F.count("*").alias("deg")
         )
         xd = yd = deg
+    # LEFT joins: an endpoint can have zero x/y-degree (e.g. x="in" on
+    # a pure source) — nx yields a 0 sample there, not nothing
     return (
-        e.join(xd.select(F.col("vid").alias("src"), F.col("deg").alias("x")), "src")
-        .join(yd.select(F.col("vid").alias("dst"), F.col("deg").alias("y")), "dst")
-        .select("x", "y")
+        e.join(
+            xd.select(F.col("vid").alias("src"), F.col("deg").alias("x")),
+            "src",
+            "left",
+        )
+        .join(
+            yd.select(F.col("vid").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
     )
 
 
@@ -94,17 +107,93 @@ def assortativity_from_pairs(pairs: DataFrame) -> float:
     return num / (vx ** 0.5 * vy ** 0.5)
 
 
+def _weighted_edges(graph: LinkGraph, symmetric: bool = False) -> DataFrame:
+    """DataFrame(src, dst, w): deduplicated (symmetric when asked)
+    edges with their weight, defaulting to 1.0 when the graph carries
+    no weight column (nx's ``.get(weight, 1)``)."""
+    base = graph.symmetric_edges() if symmetric else graph.edges
+    if "weight" in base.columns:
+        return base.groupBy("src", "dst").agg(F.max("weight").alias("w"))
+    return base.select("src", "dst").distinct().withColumn("w", F.lit(1.0))
+
+
+def weighted_degree_pairs(graph: LinkGraph, x: str = "out", y: str = "in") -> DataFrame:
+    """DataFrame(x double, y double): one endpoint-STRENGTH sample per
+    edge (both orientations when undirected) — nx's
+    ``node_degree_xy(G, weight=...)``: the degree VALUES are weighted
+    (strength = Σ incident edge weights) but each edge still counts
+    once in the joint distribution (``mixing_dict`` adds 1 per pair)."""
+    if x not in ("in", "out") or y not in ("in", "out"):
+        raise ValueError("x and y must be 'in' or 'out'")
+    if graph.directed:
+        we = _weighted_edges(graph)
+        out_s = we.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("deg"))
+        in_s = we.groupBy(F.col("dst").alias("vid")).agg(F.sum("w").alias("deg"))
+        xd = out_s if x == "out" else in_s
+        yd = out_s if y == "out" else in_s
+    else:
+        we = _weighted_edges(graph, symmetric=True)
+        deg = we.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("deg"))
+        xd = yd = deg
+    return (
+        we.join(
+            xd.select(F.col("vid").alias("src"), F.col("deg").alias("x")),
+            "src",
+            "left",
+        )
+        .join(
+            yd.select(F.col("vid").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+    )
+
+
+def assortativity_from_weighted_pairs(pairs: DataFrame) -> float:
+    """Pearson r over float strength samples (same five-sum device as
+    the exact-integer path; differential-tolerance territory)."""
+    row = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError("assortativity undefined on an empty edge set")
+    n, sx, sy = float(row["n"]), float(row["sx"]), float(row["sy"])
+    num = n * float(row["sxy"]) - sx * sy
+    vx = n * float(row["sxx"]) - sx * sx
+    vy = n * float(row["syy"]) - sy * sy
+    if vx <= 0.0 or vy <= 0.0:
+        return float("nan")
+    return num / (vx ** 0.5 * vy ** 0.5)
+
+
 def degree_assortativity_coefficient(
-    graph: LinkGraph, x: str = "out", y: str = "in"
+    graph: LinkGraph, x: str = "out", y: str = "in", weight: str | None = None
 ) -> float:
-    """``nx.degree_assortativity_coefficient`` (weight=None)."""
+    """``nx.degree_assortativity_coefficient`` (weighted form uses
+    strengths as values and edge weight as sample multiplicity)."""
+    if weight is not None:
+        return assortativity_from_weighted_pairs(
+            weighted_degree_pairs(graph, x, y)
+        )
     return assortativity_from_pairs(degree_pairs(graph, x, y))
 
 
 def average_degree_connectivity(
-    graph: LinkGraph, source: str = "in+out", target: str = "in+out"
+    graph: LinkGraph,
+    source: str = "in+out",
+    target: str = "in+out",
+    weight: str | None = None,
 ) -> DataFrame:
-    """``nx.average_degree_connectivity`` (weight=None, nodes=None):
+    """``nx.average_degree_connectivity`` (nodes=None):
     DataFrame(degree long, avg_nbr_degree double) — the knn(k) curve,
     average target-degree of neighbors over all nodes of source-degree
     k. NetworkX quirks mirrored exactly: on DiGraphs the neighbor set
@@ -112,6 +201,11 @@ def average_degree_connectivity(
     ``G.neighbors``), only source="in" walks predecessors; and a
     degree class with zero total source-degree (k=0) reports the raw
     sum (always 0) rather than dividing.
+
+    Weighted form (Barrat et al. 2004): the grouping key k and the
+    neighbor target-degrees stay UNWEIGHTED; each neighbor's degree is
+    multiplied by the connecting edge's weight and the divisor becomes
+    the node's strength — exactly nx's dsum/dnorm bookkeeping.
 
     Plan: degree tables are map-side-combined aggregates; ONE
     key-partitioned join tags each neighbor perspective with the
@@ -154,42 +248,101 @@ def average_degree_connectivity(
         deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
         sdeg = tdeg = deg
         persp = e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+    if weight is None:
+        nbr_sum = (
+            persp.join(
+                tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")),
+                "nbr",
+            )
+            .groupBy("vid")
+            .agg(F.sum("td").alias("s"))
+        )
+        per_node = (
+            vertices.join(sdeg, "vid", "left")
+            .join(nbr_sum, "vid", "left")
+            .select(
+                F.coalesce("deg", F.lit(0)).alias("k"),
+                F.coalesce("s", F.lit(0)).alias("s"),
+            )
+        )
+        grouped = per_node.groupBy(F.col("k").alias("degree")).agg(
+            F.sum("s").alias("dsum"), F.sum("k").alias("dnorm")
+        )
+        return grouped.select(
+            "degree",
+            F.when(F.col("dnorm") == 0, F.col("dsum").cast("double"))
+            .otherwise(F.col("dsum").cast("double") / F.col("dnorm").cast("double"))
+            .alias("avg_nbr_degree"),
+        )
+    # weighted: same topology tables; neighbor degrees scaled by the
+    # connecting edge weight, divisor = strength per k class
+    if graph.directed:
+        we = _weighted_edges(graph)
+        out_s = we.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("st"))
+        in_s = we.groupBy(F.col("dst").alias("vid")).agg(F.sum("w").alias("st"))
+        tot_s = (
+            out_s.withColumnRenamed("st", "o")
+            .join(in_s.withColumnRenamed("st", "i"), "vid", "full")
+            .select(
+                "vid",
+                (
+                    F.coalesce("o", F.lit(0.0)) + F.coalesce("i", F.lit(0.0))
+                ).alias("st"),
+            )
+        )
+        strength = {"out": out_s, "in": in_s, "in+out": tot_s}[source]
+        perspw = (
+            we.select(F.col("dst").alias("vid"), F.col("src").alias("nbr"), "w")
+            if source == "in"
+            else we.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"), "w")
+        )
+    else:
+        we = _weighted_edges(graph, symmetric=True)
+        strength = we.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("st"))
+        perspw = we.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"), "w")
     nbr_sum = (
-        persp.join(
+        perspw.join(
             tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")), "nbr"
         )
         .groupBy("vid")
-        .agg(F.sum("td").alias("s"))
+        .agg(F.sum(F.col("w") * F.col("td")).alias("s"))
     )
     per_node = (
         vertices.join(sdeg, "vid", "left")
+        .join(strength, "vid", "left")
         .join(nbr_sum, "vid", "left")
         .select(
             F.coalesce("deg", F.lit(0)).alias("k"),
-            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("st", F.lit(0.0)).alias("st"),
+            F.coalesce("s", F.lit(0.0)).alias("s"),
         )
     )
     grouped = per_node.groupBy(F.col("k").alias("degree")).agg(
-        F.sum("s").alias("dsum"), F.sum("k").alias("dnorm")
+        F.sum("s").alias("dsum"), F.sum("st").alias("dnorm")
     )
     return grouped.select(
         "degree",
-        F.when(F.col("dnorm") == 0, F.col("dsum").cast("double"))
-        .otherwise(F.col("dsum").cast("double") / F.col("dnorm").cast("double"))
+        F.when(F.col("dnorm") == 0, F.col("dsum"))
+        .otherwise(F.col("dsum") / F.col("dnorm"))
         .alias("avg_nbr_degree"),
     )
 
 
 def average_neighbor_degree(
-    graph: LinkGraph, source: str = "out", target: str = "out"
+    graph: LinkGraph,
+    source: str = "out",
+    target: str = "out",
+    weight: str | None = None,
 ) -> DataFrame:
-    """``nx.average_neighbor_degree`` (weight=None, nodes=None):
+    """``nx.average_neighbor_degree`` (nodes=None):
     DataFrame(vid long, avg_nbr_degree double) — per-node average
     target-degree over the source-direction neighbor set. NX
     semantics mirrored exactly: neighbors are predecessors when "in"
     ∈ source, successors when "out" ∈ source, BOTH for "in+out" (this
     differs from average_degree_connectivity's successors-only walk);
     the divisor is source_degree(n); degree-0 nodes report 0.0.
+    Weighted form: neighbor target-degrees stay UNWEIGHTED, each
+    scaled by the connecting edge weight, divisor = strength.
 
     Plan: same machinery as the knn(k) curve minus the final degree
     grouping — output cardinality = V."""
@@ -231,23 +384,59 @@ def average_neighbor_degree(
         deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
         sdeg = tdeg = deg
         persp = e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+    if weight is None:
+        nbr_sum = (
+            persp.join(
+                tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")),
+                "nbr",
+            )
+            .groupBy("vid")
+            .agg(F.sum("td").alias("s"))
+        )
+        return (
+            vertices.join(sdeg, "vid", "left")
+            .join(nbr_sum, "vid", "left")
+            .select(
+                "vid",
+                F.when(F.coalesce("deg", F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(
+                    F.coalesce("s", F.lit(0)).cast("double")
+                    / F.col("deg").cast("double")
+                )
+                .alias("avg_nbr_degree"),
+            )
+        )
+    # weighted: w-scaled unweighted target degrees / source strength
+    if graph.directed:
+        we = _weighted_edges(graph)
+        parts = []
+        if "out" in source:
+            parts.append(
+                we.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"), "w")
+            )
+        if "in" in source:
+            parts.append(
+                we.select(F.col("dst").alias("vid"), F.col("src").alias("nbr"), "w")
+            )
+        perspw = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    else:
+        we = _weighted_edges(graph, symmetric=True)
+        perspw = we.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"), "w")
+    strength = perspw.groupBy("vid").agg(F.sum("w").alias("st"))
     nbr_sum = (
-        persp.join(
+        perspw.join(
             tdeg.select(F.col("vid").alias("nbr"), F.col("deg").alias("td")), "nbr"
         )
         .groupBy("vid")
-        .agg(F.sum("td").alias("s"))
+        .agg(F.sum(F.col("w") * F.col("td")).alias("s"))
     )
     return (
-        vertices.join(sdeg, "vid", "left")
+        vertices.join(strength, "vid", "left")
         .join(nbr_sum, "vid", "left")
         .select(
             "vid",
-            F.when(F.coalesce("deg", F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(
-                F.coalesce("s", F.lit(0)).cast("double")
-                / F.col("deg").cast("double")
-            )
+            F.when(F.coalesce("st", F.lit(0.0)) == 0.0, F.lit(0.0))
+            .otherwise(F.coalesce("s", F.lit(0.0)) / F.col("st"))
             .alias("avg_nbr_degree"),
         )
     )

@@ -186,3 +186,92 @@ def test_and_dispatch(spark):
     assert set(got) == set(want)
     for k in want:
         assert math.isclose(got[k], want[k], abs_tol=1e-12), k
+
+
+# ------------------------------------------------------------ weighted forms
+
+
+def weighted_digraph():
+    g = nx.DiGraph()
+    edges = [
+        (0, 1, 2.0), (1, 2, 1.0), (2, 0, 0.5), (2, 3, 3.0),
+        (3, 4, 1.5), (4, 1, 2.5), (0, 3, 1.0), (4, 0, 0.25),
+    ]
+    g.add_weighted_edges_from(edges)
+    return g
+
+
+def test_weighted_assortativity_undirected(spark):
+    g = two_triangles_bridge(weighted=True)
+    got = spark_dac(spark, g, weight="weight")
+    want = nx.degree_assortativity_coefficient(g, weight="weight")
+    assert math.isclose(got, want, abs_tol=1e-9)
+
+
+def test_weighted_assortativity_directed(spark):
+    g = weighted_digraph()
+    got = spark_dac(spark, g, weight="weight")
+    want = nx.degree_assortativity_coefficient(g, weight="weight")
+    assert math.isclose(got, want, abs_tol=1e-9)
+
+
+def test_weighted_adc(spark):
+    g = nx.path_graph(4)
+    g.edges[1, 2]["weight"] = 3
+    # nx docstring example: {1: 2.0, 2: 1.75}
+    got = spark_adc(spark, g, weight="weight")
+    assert got == {1: 2.0, 2: 1.75}
+    h = weighted_digraph()
+    for src, tgt in [("in+out", "in+out"), ("in", "out"), ("out", "in")]:
+        got = spark_adc(spark, h, source=src, target=tgt, weight="weight")
+        want = nx_adc(h, source=src, target=tgt, weight="weight")
+        assert set(got) == set(want)
+        for k in want:
+            assert math.isclose(got[k], want[k], abs_tol=1e-9), (src, tgt, k)
+
+
+def test_weighted_neighbor_degree(spark):
+    from nx_neptune_spark import api
+
+    h = weighted_digraph()
+    for src, tgt in [("in+out", "in+out"), ("out", "out"), ("in", "in")]:
+        got = api.average_neighbor_degree(
+            LinkGraph.from_networkx(spark, h), source=src, target=tgt,
+            weight="weight",
+        )
+        want = nx.average_neighbor_degree(h, source=src, target=tgt, weight="weight")
+        for k, v in want.items():
+            assert math.isclose(got[str(k)], v, abs_tol=1e-9), (src, tgt, k)
+    g = two_triangles_bridge(weighted=True)
+    got = api.average_neighbor_degree(
+        LinkGraph.from_networkx(spark, g), weight="weight"
+    )
+    want = nx.average_neighbor_degree(g, weight="weight")
+    for k, v in want.items():
+        assert math.isclose(got[str(k)], v, abs_tol=1e-9), k
+
+
+def test_weighted_pearson_dispatch(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = weighted_digraph()
+    got = nx.degree_pearson_correlation_coefficient(
+        g, weight="weight", backend="spark"
+    )
+    # native nx pearson needs scipy (absent here); the mixing-matrix
+    # form computes the identical estimator
+    want = nx.degree_assortativity_coefficient(g, weight="weight")
+    assert math.isclose(got, want, abs_tol=1e-6)
+
+
+def test_zero_degree_endpoint_sample(spark):
+    """x='in' on a pure source: nx yields a 0 sample, not nothing."""
+    g = nx.DiGraph([(0, 1), (1, 2), (2, 1)])
+    for x, y in [("in", "in"), ("in", "out"), ("out", "out")]:
+        got = spark_dac(spark, g, x=x, y=y)
+        want = nx.degree_assortativity_coefficient(g, x=x, y=y)
+        if math.isnan(want):
+            assert math.isnan(got), (x, y)
+        else:
+            assert math.isclose(got, want, abs_tol=1e-9), (x, y)
