@@ -685,6 +685,20 @@ def q_structure_summary(spark, sf_dir):
     )
 
 
+def q_square_clustering(spark, sf_dir):
+    """Square (C4) clustering (operators/squares.py, Lind 2005 / nx
+    formulation) on the circulant+10-clique fixture — the ring's
+    (i,i+2) chords make genuine 4-cycles and the clique saturates the
+    formula's triangle/degree correction terms. Exact-integer inputs,
+    one IEEE division, identical arithmetic in DuckDB."""
+    from nx_neptune_spark.operators.squares import square_clustering
+
+    g = _truss_graph(spark, sf_dir)
+    return square_clustering(g).select(
+        "vid", F.round("square_clustering", 12).alias("square_clustering")
+    )
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1433,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
+        "square_clustering": q_square_clustering,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2310,6 +2325,43 @@ SELECT round((SELECT s FROM sm), 6) AS s_metric,
 """
 
 
+def _square_clustering_sql() -> str:
+    """C4-clustering oracle (operators/squares.py): common-neighbor
+    counts per distance-≤2 pair via the wedge self-join, then the
+    identical squares / triangle-corner / degree arithmetic."""
+    return f"""
+WITH
+{_truss_und_edges_cte()},
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+cn AS (
+  SELECT w1.dst AS a, w2.dst AS b, count(*) AS cn
+  FROM sym w1 JOIN sym w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+  GROUP BY w1.dst, w2.dst),
+sq AS (
+  SELECT a AS vid, sum(cn * (cn - 1)) / 2.0 AS squares FROM cn GROUP BY a),
+tri AS (
+  SELECT cn.a AS vid, sum(cn.cn) AS tri
+  FROM cn JOIN sym s ON s.src = cn.a AND s.dst = cn.b
+  GROUP BY cn.a),
+nd AS (
+  SELECT s.src AS vid, sum(d.deg) AS sdu
+  FROM sym s JOIN dv d ON d.vid = s.dst GROUP BY s.src)
+SELECT i AS vid,
+       round(CASE WHEN (coalesce(nd.sdu, 0) * (coalesce(dv.deg, 0) - 1)
+                        - coalesce(dv.deg, 0) * (coalesce(dv.deg, 0) - 1)
+                        - coalesce(tri.tri, 0)
+                        - coalesce(sq.squares, 0.0)) > 0
+                  THEN coalesce(sq.squares, 0.0)
+                       / CAST(coalesce(nd.sdu, 0) * (coalesce(dv.deg, 0) - 1)
+                              - coalesce(dv.deg, 0) * (coalesce(dv.deg, 0) - 1)
+                              - coalesce(tri.tri, 0)
+                              - coalesce(sq.squares, 0.0) AS DOUBLE)
+                  ELSE 0.0 END, 12) AS square_clustering
+FROM ids LEFT JOIN dv ON dv.vid = i LEFT JOIN nd ON nd.vid = i
+LEFT JOIN sq ON sq.vid = i LEFT JOIN tri ON tri.vid = i
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -2895,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(),
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),
+        "square_clustering": _square_clustering_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

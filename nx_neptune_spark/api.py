@@ -537,6 +537,19 @@ def clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
     return {str(n): res[str(n)] for n in nodes}
 
 
+def square_clustering(graph: LinkGraph, nodes=None) -> dict | float:
+    """``nx.square_clustering`` shape (dict, or scalar for one node)."""
+    from .operators.squares import square_clustering as _sq
+
+    name_of = graph.name_of()
+    res = {name_of[r["vid"]]: r["square_clustering"] for r in _sq(graph).collect()}
+    if nodes is None:
+        return res
+    if isinstance(nodes, (str, int)) or not isinstance(nodes, Iterable):
+        return res[str(nodes)]
+    return {str(n): res[str(n)] for n in nodes}
+
+
 def transitivity(graph: LinkGraph, **ignored) -> float:
     from .operators.clustering import transitivity as _tr
 

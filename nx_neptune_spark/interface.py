@@ -93,6 +93,7 @@ ALGORITHMS = [
     "clustering",
     "transitivity",
     "average_clustering",
+    "square_clustering",
     "reciprocity",
     "overall_reciprocity",
     "harmonic_centrality",
@@ -561,6 +562,14 @@ class BackendInterface:
     @staticmethod
     def clustering(G, nodes=None, weight=None, **kw):
         res = api.clustering(_lg(G), nodes=nodes, weight=weight, **kw)
+        if not isinstance(res, dict):
+            return res
+        back = _back(G)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def square_clustering(G, nodes=None, **kw):
+        res = api.square_clustering(_lg(G), nodes=nodes)
         if not isinstance(res, dict):
             return res
         back = _back(G)

@@ -30,3 +30,4 @@ from .structure import (  # noqa: F401
 from .bipartite import bipartite_color, is_bipartite  # noqa: F401
 from .triads import triadic_census  # noqa: F401
 from .voterank import voterank  # noqa: F401
+from .squares import square_clustering  # noqa: F401
