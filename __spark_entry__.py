@@ -699,6 +699,28 @@ def q_square_clustering(spark, sf_dir):
     )
 
 
+def q_distance_profile(spark, sf_dir):
+    """Per-vertex (eccentricity, total distance) over a CONNECTED
+    120-vertex circulant(1,2) (operators/distance.py, the batched
+    all-sources BFS behind diameter/radius/center/periphery/
+    barycenter/wiener): exact hop integers, bit-equal to the DuckDB
+    BFS closure."""
+    from nx_neptune_spark.operators.distance import distance_profile
+
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < CLOSENESS_N)
+    e1 = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % CLOSENESS_N).alias("dst")
+    )
+    e2 = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 2) % CLOSENESS_N).alias("dst")
+    )
+    g = LinkGraph(
+        e1.unionByName(e2), ids.select(F.col("i").alias("vid")), directed=False
+    )
+    return distance_profile(g).select("vid", "ecc", "total_dist")
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1448,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
         "square_clustering": q_square_clustering,
+        "distance_profile": q_distance_profile,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2362,6 +2385,33 @@ LEFT JOIN sq ON sq.vid = i LEFT JOIN tri ON tri.vid = i
 """
 
 
+def _distance_profile_sql() -> str:
+    """All-sources BFS closure on the 120-vertex circulant
+    (operators/distance.py): min hop distance per (source, vertex),
+    then max/sum per source — the _closeness_sql device with the
+    outgoing orientation (symmetric here)."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+raw AS (
+  SELECT i AS src, (i+1) % {CLOSENESS_N} AS dst FROM ids
+  UNION ALL SELECT i, (i+2) % {CLOSENESS_N} FROM ids
+),
+sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+d(s, v, dist) AS (
+  SELECT i, i, 0 FROM ids
+  UNION
+  SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v
+  WHERE dd.dist < 40
+),
+md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v)
+SELECT s AS vid,
+       CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(sum(dist) AS BIGINT) AS total_dist
+FROM md GROUP BY s
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -2948,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),
         "square_clustering": _square_clustering_sql(),
+        "distance_profile": _distance_profile_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

@@ -644,6 +644,87 @@ def is_bipartite(graph: LinkGraph) -> bool:
     return _ib(graph)
 
 
+def _no_weighted_distance(weight) -> None:
+    if weight is not None:
+        raise NotImplementedError(
+            "weighted distance measures (all-sources Dijkstra) are not "
+            "implemented; operators/sssp.py covers single-source weighted"
+        )
+
+
+def eccentricity(graph: LinkGraph, v=None, sp=None, weight=None) -> dict | int:
+    """``nx.eccentricity`` shape: dict, or scalar for a single node."""
+    _no_weighted_distance(weight)
+    if sp is not None:
+        raise NotImplementedError("precomputed sp is not supported")
+    from .operators.distance import eccentricity as _ecc
+
+    single = v is not None and isinstance(v, (str, int))
+    vid_of = graph.vid_of()
+    sources = None
+    if v is not None:
+        sources = (
+            [vid_of[str(v)]] if single else [vid_of[str(x)] for x in v]
+        )
+    name_of = graph.name_of()
+    res = {
+        name_of[r["vid"]]: int(r["ecc"])
+        for r in _ecc(graph, sources=sources).collect()
+    }
+    return res[str(v)] if single else res
+
+
+def diameter(graph: LinkGraph, e=None, usebounds=False, weight=None) -> int:
+    _no_weighted_distance(weight)
+    _warn_unsupported("diameter", e=e, usebounds=usebounds or None)
+    from .operators.distance import diameter as _d
+
+    return _d(graph)
+
+
+def radius(graph: LinkGraph, e=None, usebounds=False, weight=None) -> int:
+    _no_weighted_distance(weight)
+    _warn_unsupported("radius", e=e, usebounds=usebounds or None)
+    from .operators.distance import radius as _r
+
+    return _r(graph)
+
+
+def center(graph: LinkGraph, e=None, usebounds=False, weight=None) -> list:
+    _no_weighted_distance(weight)
+    _warn_unsupported("center", e=e, usebounds=usebounds or None)
+    from .operators.distance import center as _c
+
+    name_of = graph.name_of()
+    return sorted(name_of[r["vid"]] for r in _c(graph).collect())
+
+
+def periphery(graph: LinkGraph, e=None, usebounds=False, weight=None) -> list:
+    _no_weighted_distance(weight)
+    _warn_unsupported("periphery", e=e, usebounds=usebounds or None)
+    from .operators.distance import periphery as _p
+
+    name_of = graph.name_of()
+    return sorted(name_of[r["vid"]] for r in _p(graph).collect())
+
+
+def barycenter(graph: LinkGraph, weight=None, attr=None, sp=None) -> list:
+    _no_weighted_distance(weight)
+    if attr is not None or sp is not None:
+        raise NotImplementedError("barycenter attr/sp are not supported")
+    from .operators.distance import barycenter as _b
+
+    name_of = graph.name_of()
+    return sorted(name_of[r["vid"]] for r in _b(graph).collect())
+
+
+def wiener_index(graph: LinkGraph, weight=None) -> float:
+    _no_weighted_distance(weight)
+    from .operators.distance import wiener_index as _w
+
+    return _w(graph)
+
+
 def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> list:
     """``nx.voterank`` shape: ordered list of elected seed nodes."""
     from .operators.voterank import voterank as _vr

@@ -59,6 +59,13 @@ ALGORITHMS = [
     "s_metric",
     "triadic_census",
     "voterank",
+    "eccentricity",
+    "diameter",
+    "radius",
+    "center",
+    "periphery",
+    "barycenter",
+    "wiener_index",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -464,6 +471,82 @@ class BackendInterface:
     @staticmethod
     def triadic_census(G, nodelist=None, **kw):
         return api.triadic_census(_lg(G), nodelist=nodelist)
+
+    @staticmethod
+    def eccentricity(G, v=None, sp=None, weight=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.eccentricity(_lg(G), v=v, sp=sp, weight=weight)
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        if not isinstance(res, dict):
+            return res
+        return {back[k]: v2 for k, v2 in res.items()}
+
+    @staticmethod
+    def diameter(G, e=None, usebounds=False, weight=None, **kw):
+        import networkx as nx
+
+        try:
+            return api.diameter(_lg(G), e=e, usebounds=usebounds, weight=weight)
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def radius(G, e=None, usebounds=False, weight=None, **kw):
+        import networkx as nx
+
+        try:
+            return api.radius(_lg(G), e=e, usebounds=usebounds, weight=weight)
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def center(G, e=None, usebounds=False, weight=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            return [
+                back[k]
+                for k in api.center(_lg(G), e=e, usebounds=usebounds, weight=weight)
+            ]
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def periphery(G, e=None, usebounds=False, weight=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            return [
+                back[k]
+                for k in api.periphery(
+                    _lg(G), e=e, usebounds=usebounds, weight=weight
+                )
+            ]
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def barycenter(G, weight=None, attr=None, sp=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            return [
+                back[k]
+                for k in api.barycenter(_lg(G), weight=weight, attr=attr, sp=sp)
+            ]
+        except ValueError as err:
+            raise nx.NetworkXNoPath(str(err)) from err
+
+    @staticmethod
+    def wiener_index(G, weight=None, **kw):
+        return api.wiener_index(_lg(G), weight=weight)
 
     @staticmethod
     def voterank(G, number_of_nodes=None, **kw):

@@ -31,3 +31,12 @@ from .bipartite import bipartite_color, is_bipartite  # noqa: F401
 from .triads import triadic_census  # noqa: F401
 from .voterank import voterank  # noqa: F401
 from .squares import square_clustering  # noqa: F401
+from .distance import (  # noqa: F401
+    barycenter,
+    center,
+    diameter,
+    eccentricity,
+    periphery,
+    radius,
+    wiener_index,
+)
