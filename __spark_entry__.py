@@ -721,6 +721,18 @@ def q_distance_profile(spark, sf_dir):
     return distance_profile(g).select("vid", "ecc", "total_dist")
 
 
+def q_reaching(spark, sf_dir):
+    """1-row Mones global reaching centrality (operators/distance.py
+    global_reaching_centrality, undirected unweighted form = scaled
+    harmonic) over the 120-vertex chain graph — chain ends vs middles
+    give the LRC real variance. Rounded to 10 in both engines."""
+    from nx_neptune_spark.operators.distance import global_reaching_centrality
+
+    g = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    grc = global_reaching_centrality(g)
+    return spark.createDataFrame([(round(grc, 8),)], "grc double")
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1471,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure_summary": q_structure_summary,
         "square_clustering": q_square_clustering,
         "distance_profile": q_distance_profile,
+        "reaching": q_reaching,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2412,6 +2425,36 @@ FROM md GROUP BY s
 """
 
 
+def _reaching_sql() -> str:
+    """GRC oracle on the 120-vertex chain: per-source harmonic sums
+    from the BFS closure (the _harmonic_sql device), LRC = h/(n−1),
+    GRC = Σ(max−LRC)/(n−1) — the identical float sequence the engine
+    computes (one max, one sum, two divisions)."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids
+       WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+d(s, v, dist) AS (
+  SELECT i, i, 0 FROM ids
+  UNION
+  SELECT dd.s, e.dst, dd.dist + 1 FROM d dd JOIN sym e ON e.src = dd.v
+  WHERE dd.dist < 40
+),
+md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v),
+h AS (
+  SELECT r.i AS s, coalesce(x.h, 0.0) AS h
+  FROM ids r LEFT JOIN (
+    SELECT s, sum(1.0 / dist) AS h FROM md WHERE dist > 0 GROUP BY s) x
+  ON x.s = r.i),
+lrc AS (SELECT s, h / ({CLOSENESS_N} - 1.0) AS lrc FROM h),
+mx AS (SELECT max(lrc) AS m FROM lrc)
+SELECT round(sum(mx.m - lrc.lrc) / ({CLOSENESS_N} - 1.0), 8) AS grc
+FROM lrc, mx
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -2999,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "structure_summary": _structure_summary_sql(),
         "square_clustering": _square_clustering_sql(),
         "distance_profile": _distance_profile_sql(),
+        "reaching": _reaching_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

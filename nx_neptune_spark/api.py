@@ -725,6 +725,28 @@ def wiener_index(graph: LinkGraph, weight=None) -> float:
     return _w(graph)
 
 
+def local_reaching_centrality(
+    graph: LinkGraph, v, paths=None, weight=None, normalized=True
+) -> float:
+    """``nx.local_reaching_centrality`` shape (unweighted form)."""
+    _no_weighted_distance(weight)
+    if paths is not None:
+        raise NotImplementedError("precomputed paths are not supported")
+    from .operators.distance import local_reaching_centrality as _lrc
+
+    return _lrc(graph, graph.vid_of()[str(v)])
+
+
+def global_reaching_centrality(
+    graph: LinkGraph, weight=None, normalized=True
+) -> float:
+    """``nx.global_reaching_centrality`` shape (unweighted form)."""
+    _no_weighted_distance(weight)
+    from .operators.distance import global_reaching_centrality as _grc
+
+    return _grc(graph)
+
+
 def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> list:
     """``nx.voterank`` shape: ordered list of elected seed nodes."""
     from .operators.voterank import voterank as _vr

@@ -66,6 +66,8 @@ ALGORITHMS = [
     "periphery",
     "barycenter",
     "wiener_index",
+    "local_reaching_centrality",
+    "global_reaching_centrality",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -547,6 +549,30 @@ class BackendInterface:
     @staticmethod
     def wiener_index(G, weight=None, **kw):
         return api.wiener_index(_lg(G), weight=weight)
+
+    @staticmethod
+    def local_reaching_centrality(
+        G, v, paths=None, weight=None, normalized=True, **kw
+    ):
+        import networkx as nx
+
+        try:
+            return api.local_reaching_centrality(
+                _lg(G), v, paths=paths, weight=weight, normalized=normalized
+            )
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def global_reaching_centrality(G, weight=None, normalized=True, **kw):
+        import networkx as nx
+
+        try:
+            return api.global_reaching_centrality(
+                _lg(G), weight=weight, normalized=normalized
+            )
+        except ValueError as err:
+            raise nx.NetworkXError(str(err)) from err
 
     @staticmethod
     def voterank(G, number_of_nodes=None, **kw):

@@ -188,6 +188,65 @@ def barycenter(graph: LinkGraph) -> DataFrame:
     return out
 
 
+def _lrc_frame(graph: LinkGraph, sources: list[int] | None = None) -> DataFrame:
+    """DataFrame(vid, lrc double): nx's unweighted local reaching
+    centrality. Directed: (reached−1)/(n−1) (fraction reachable).
+    Undirected: nx's average-path-weight form degenerates to
+    Σ_j 1/d(v,j) / (n−1) — exactly harmonic centrality scaled (the
+    orientations coincide on an undirected graph)."""
+    n = graph.num_vertices()
+    if graph.directed:
+        return distance_profile(graph, sources=sources).select(
+            "vid",
+            ((F.col("reached") - 1).cast("double") / (n - 1)).alias("lrc"),
+        )
+    from .harmonic import harmonic_centrality
+
+    return harmonic_centrality(graph, nbunch=sources).select(
+        "vid", (F.col("harmonic") / (n - 1)).alias("lrc")
+    )
+
+
+def _reaching_guard(graph: LinkGraph) -> None:
+    if graph.edges.isEmpty():
+        raise ValueError("Size of G must be positive")
+    if graph.num_vertices() == 1:
+        raise ValueError(
+            "local_reaching_centrality of a single node with self-loop "
+            "not well-defined"
+        )
+
+
+def local_reaching_centrality(graph: LinkGraph, vid: int) -> float:
+    """``nx.local_reaching_centrality`` parity for the UNWEIGHTED case
+    (Mones et al. 2012). Weighted reaching is NotImplemented at the
+    API layer."""
+    _reaching_guard(graph)
+    row = _lrc_frame(graph, sources=[vid]).first()
+    return float(row["lrc"]) if row is not None else 0.0
+
+
+def global_reaching_centrality(graph: LinkGraph) -> float:
+    """``nx.global_reaching_centrality`` parity (unweighted):
+    GRC = Σ_v (max LRC − LRC(v)) / (n−1) — the Mones hierarchy
+    measure of a link graph. One all-sources BFS profile (exact-mode
+    warning applies) + two 1-row aggregates; the subtraction folds
+    in-plan via a broadcast max row."""
+    n = graph.num_vertices()
+    _reaching_guard(graph)
+    lrc = _lrc_frame(graph).persist()
+    try:
+        mx = lrc.agg(F.max("lrc").alias("mx"))
+        row = (
+            lrc.crossJoin(mx)
+            .agg(F.sum(F.col("mx") - F.col("lrc")).alias("s"))
+            .first()
+        )
+        return float(row["s"]) / (n - 1)
+    finally:
+        lrc.unpersist(blocking=False)
+
+
 def wiener_index(graph: LinkGraph) -> float:
     """``nx.wiener_index`` parity (weight=None): Σ pairwise distances
     (ordered pairs for digraphs, each unordered pair once otherwise);

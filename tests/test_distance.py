@@ -101,3 +101,49 @@ def test_dispatch(spark):
     h = nx.Graph([(0, 1), (2, 3)])
     with pytest.raises(nx.NetworkXError):
         nx.diameter(h, backend="spark")
+
+# ---------------------------------------------------------- reaching
+
+
+def test_reaching_centrality(spark):
+    from nx_neptune_spark.operators.distance import (
+        global_reaching_centrality,
+        local_reaching_centrality,
+    )
+
+    g = nx.DiGraph()
+    g.add_edge(1, 2)
+    g.add_edge(1, 3)
+    graph = lg(spark, g)
+    assert math.isclose(global_reaching_centrality(graph), 1.0)
+    g.add_edge(3, 2)
+    graph = lg(spark, g)
+    assert math.isclose(
+        global_reaching_centrality(graph), nx.global_reaching_centrality(g)
+    )
+    for v in g:
+        assert math.isclose(
+            local_reaching_centrality(graph, graph.vid_of()[str(v)]),
+            nx.local_reaching_centrality(g, v),
+        ), v
+
+
+def test_reaching_undirected_and_dispatch(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = two_triangles_bridge()
+    assert math.isclose(
+        nx.global_reaching_centrality(g, backend="spark"),
+        nx.global_reaching_centrality(g),
+        abs_tol=1e-9,
+    )
+    assert math.isclose(
+        nx.local_reaching_centrality(g, "C", backend="spark"),
+        nx.local_reaching_centrality(g, "C"),
+        abs_tol=1e-9,
+    )
+    h = nx.Graph()
+    h.add_nodes_from([1, 2])
+    with pytest.raises(nx.NetworkXError):
+        nx.global_reaching_centrality(h, backend="spark")
