@@ -93,6 +93,9 @@ ALGORITHMS = [
     "eigenvector_centrality",
     "core_number",
     "k_core",
+    "k_shell",
+    "k_crust",
+    "k_corona",
     "k_truss",
     "single_source_dijkstra_path_length",
     "jaccard_coefficient",
@@ -769,6 +772,38 @@ class BackendInterface:
         back = _back(G)
         names = api.k_core_nodes(_lg(G), k=k)
         return G.subgraph([back[m] for m in names])
+
+    @staticmethod
+    def _core_dict(G, core_number):
+        # distributed core decomposition unless the caller supplied one
+        if core_number is not None:
+            return core_number
+        back = _back(G)
+        return {back[n]: c for n, c in api.core_number(_lg(G)).items()}
+
+    @staticmethod
+    def k_shell(G, k=None, core_number=None, **kw):
+        c = BackendInterface._core_dict(G, core_number)
+        if k is None:
+            k = max(c.values()) if c else 0
+        return G.subgraph([v for v, cv in c.items() if cv == k]).copy()
+
+    @staticmethod
+    def k_crust(G, k=None, core_number=None, **kw):
+        c = BackendInterface._core_dict(G, core_number)
+        if k is None:
+            k = (max(c.values()) - 1) if c else 0
+        return G.subgraph([v for v, cv in c.items() if cv <= k]).copy()
+
+    @staticmethod
+    def k_corona(G, k, core_number=None, **kw):
+        c = BackendInterface._core_dict(G, core_number)
+        keep = [
+            v
+            for v, cv in c.items()
+            if cv == k and k == sum(1 for w in G[v] if c[w] >= k)
+        ]
+        return G.subgraph(keep).copy()
 
     @staticmethod
     def k_truss(G, k, **kw):

@@ -102,3 +102,28 @@ def test_core_number_resume_from_checkpoint(spark, tmp_path):
     got = {names[r["vid"]]: r["core"] for r in rows}
     assert stats["converged"]
     assert got == {str(k): v for k, v in nx.core_number(g).items()}
+
+
+def test_k_shell_crust_corona_dispatch(spark):
+    import networkx as nx
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = nx.barbell_graph(5, 3)  # two 5-cliques (core 4) + a path (core 1)
+    for k in [None, 1, 2, 4]:
+        got = nx.k_shell(g, k=k, backend="spark")
+        want = nx.k_shell(g, k=k)
+        assert set(got.nodes) == set(want.nodes) and set(got.edges) == set(
+            want.edges
+        ), ("shell", k)
+        got = nx.k_crust(g, k=k, backend="spark")
+        want = nx.k_crust(g, k=k)
+        assert set(got.nodes) == set(want.nodes) and set(got.edges) == set(
+            want.edges
+        ), ("crust", k)
+    for k in [1, 2, 4]:
+        got = nx.k_corona(g, k, backend="spark")
+        want = nx.k_corona(g, k)
+        assert set(got.nodes) == set(want.nodes) and set(got.edges) == set(
+            want.edges
+        ), ("corona", k)
