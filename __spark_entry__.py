@@ -733,6 +733,38 @@ def q_reaching(spark, sf_dir):
     return spark.createDataFrame([(round(grc, 8),)], "grc double")
 
 
+def q_cuts_profile(spark, sf_dir):
+    """One-row cut/boundary/expansion profile (operators/cuts.py) of
+    S = {i : i%7==0} inside the circulant(1,2): cut size, volumes,
+    conductance, normalized cut, edge/mixing/node/boundary expansion —
+    the community-quality scoring surface. Exact-integer counts, IEEE
+    divisions reproduced identically in DuckDB."""
+    from nx_neptune_spark.operators import cuts
+
+    g = _circulant_graph(spark, sf_dir)
+    s = g.vertices.where(F.col("vid") % 7 == 0)
+    vol_s = cuts.volume(g, s)
+    vol_t = cuts.volume(g, g.vertices.join(s, "vid", "left_anti"))
+    return spark.createDataFrame(
+        [
+            (
+                cuts.cut_size(g, s),
+                vol_s,
+                vol_t,
+                round(cuts.conductance(g, s), 12),
+                round(cuts.normalized_cut_size(g, s), 12),
+                round(cuts.edge_expansion(g, s), 12),
+                round(cuts.mixing_expansion(g, s), 12),
+                round(cuts.node_expansion(g, s), 12),
+                round(cuts.boundary_expansion(g, s), 12),
+            )
+        ],
+        "cut double, vol_s double, vol_t double, conductance double, "
+        "ncut double, edge_exp double, mixing_exp double, node_exp double, "
+        "boundary_exp double",
+    )
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1484,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_clustering": q_square_clustering,
         "distance_profile": q_distance_profile,
         "reaching": q_reaching,
+        "cuts_profile": q_cuts_profile,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2455,6 +2488,56 @@ FROM lrc, mx
 """
 
 
+def _cuts_profile_sql() -> str:
+    """Cut/expansion oracle on the circulant(1,2) with S = {i%7==0}
+    (operators/cuts.py): boundary edges have exactly one endpoint in
+    S; volumes are symmetric-degree sums; each expansion is one IEEE
+    division over exact integers."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+s AS (SELECT i AS vid FROM ids WHERE i % 7 = 0),
+counts AS (
+  SELECT (SELECT count(*) FROM s) AS ns,
+         (SELECT count(*) FROM ids) - (SELECT count(*) FROM s) AS nt,
+         (SELECT count(*) FROM e) AS m),
+cut AS (
+  SELECT count(*) AS c FROM e
+  WHERE (e.u IN (SELECT vid FROM s)) <> (e.v IN (SELECT vid FROM s))),
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+vols AS (
+  SELECT sum(CASE WHEN src IN (SELECT vid FROM s) THEN 1 ELSE 0 END) AS vs,
+         sum(CASE WHEN src IN (SELECT vid FROM s) THEN 0 ELSE 1 END) AS vt
+  FROM sym),
+nbhd AS (
+  SELECT count(DISTINCT dst) AS nb FROM sym
+  WHERE src IN (SELECT vid FROM s)),
+bdy AS (
+  SELECT count(DISTINCT dst) AS b FROM sym
+  WHERE src IN (SELECT vid FROM s) AND dst NOT IN (SELECT vid FROM s))
+SELECT CAST(cut.c AS DOUBLE) AS cut,
+       CAST(vols.vs AS DOUBLE) AS vol_s,
+       CAST(vols.vt AS DOUBLE) AS vol_t,
+       round(CAST(cut.c AS DOUBLE) / least(vols.vs, vols.vt), 12)
+         AS conductance,
+       round(CAST(cut.c AS DOUBLE) * (1.0 / vols.vs + 1.0 / vols.vt), 12)
+         AS ncut,
+       round(CAST(cut.c AS DOUBLE) / least(counts.ns, counts.nt), 12)
+         AS edge_exp,
+       round(CAST(cut.c AS DOUBLE) / (2.0 * counts.m), 12) AS mixing_exp,
+       round(CAST(nbhd.nb AS DOUBLE) / counts.ns, 12) AS node_exp,
+       round(CAST(bdy.b AS DOUBLE) / counts.ns, 12) AS boundary_exp
+FROM cut, vols, counts, nbhd, bdy
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -3043,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "square_clustering": _square_clustering_sql(),
         "distance_profile": _distance_profile_sql(),
         "reaching": _reaching_sql(),
+        "cuts_profile": _cuts_profile_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

@@ -747,6 +747,98 @@ def global_reaching_centrality(
     return _grc(graph)
 
 
+def _vids_of(graph: LinkGraph, nodes) -> list[int]:
+    vid_of = graph.vid_of()
+    return [vid_of[str(n)] for n in nodes]
+
+
+def cut_size(graph: LinkGraph, S, T=None, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.cut_size(
+        graph, _vids_of(graph, S), None if T is None else _vids_of(graph, T),
+        weight=weight,
+    )
+
+
+def volume(graph: LinkGraph, S, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.volume(graph, _vids_of(graph, S), weight=weight)
+
+
+def conductance(graph: LinkGraph, S, T=None, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.conductance(
+        graph, _vids_of(graph, S), None if T is None else _vids_of(graph, T),
+        weight=weight,
+    )
+
+
+def normalized_cut_size(graph: LinkGraph, S, T=None, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.normalized_cut_size(
+        graph, _vids_of(graph, S), None if T is None else _vids_of(graph, T),
+        weight=weight,
+    )
+
+
+def edge_expansion(graph: LinkGraph, S, T=None, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.edge_expansion(
+        graph, _vids_of(graph, S), None if T is None else _vids_of(graph, T),
+        weight=weight,
+    )
+
+
+def mixing_expansion(graph: LinkGraph, S, T=None, weight=None) -> float:
+    from .operators import cuts
+
+    return cuts.mixing_expansion(
+        graph, _vids_of(graph, S), None if T is None else _vids_of(graph, T),
+        weight=weight,
+    )
+
+
+def node_expansion(graph: LinkGraph, S) -> float:
+    from .operators import cuts
+
+    return cuts.node_expansion(graph, _vids_of(graph, S))
+
+
+def boundary_expansion(graph: LinkGraph, S) -> float:
+    from .operators import cuts
+
+    return cuts.boundary_expansion(graph, _vids_of(graph, S))
+
+
+def node_boundary(graph: LinkGraph, nbunch1, nbunch2=None) -> set:
+    from .operators import cuts
+
+    name_of = graph.name_of()
+    bdy = cuts.node_boundary(
+        graph,
+        _vids_of(graph, nbunch1),
+        None if nbunch2 is None else _vids_of(graph, nbunch2),
+    )
+    return {name_of[r["vid"]] for r in bdy.collect()}
+
+
+def edge_boundary(graph: LinkGraph, nbunch1, nbunch2=None) -> list:
+    from .operators import cuts
+
+    name_of = graph.name_of()
+    rows = cuts.edge_boundary(
+        graph,
+        _vids_of(graph, nbunch1),
+        None if nbunch2 is None else _vids_of(graph, nbunch2),
+    ).collect()
+    return [(name_of[r["src"]], name_of[r["dst"]]) for r in rows]
+
+
 def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> list:
     """``nx.voterank`` shape: ordered list of elected seed nodes."""
     from .operators.voterank import voterank as _vr

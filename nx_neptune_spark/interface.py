@@ -68,6 +68,16 @@ ALGORITHMS = [
     "wiener_index",
     "local_reaching_centrality",
     "global_reaching_centrality",
+    "cut_size",
+    "volume",
+    "conductance",
+    "normalized_cut_size",
+    "edge_expansion",
+    "mixing_expansion",
+    "node_expansion",
+    "boundary_expansion",
+    "node_boundary",
+    "edge_boundary",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -576,6 +586,56 @@ class BackendInterface:
             )
         except ValueError as err:
             raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def cut_size(G, S, T=None, weight=None, **kw):
+        return api.cut_size(_lg(G), S, T=T, weight=weight)
+
+    @staticmethod
+    def volume(G, S, weight=None, **kw):
+        return api.volume(_lg(G), S, weight=weight)
+
+    @staticmethod
+    def conductance(G, S, T=None, weight=None, **kw):
+        return api.conductance(_lg(G), S, T=T, weight=weight)
+
+    @staticmethod
+    def normalized_cut_size(G, S, T=None, weight=None, **kw):
+        return api.normalized_cut_size(_lg(G), S, T=T, weight=weight)
+
+    @staticmethod
+    def edge_expansion(G, S, T=None, weight=None, **kw):
+        return api.edge_expansion(_lg(G), S, T=T, weight=weight)
+
+    @staticmethod
+    def mixing_expansion(G, S, T=None, weight=None, **kw):
+        return api.mixing_expansion(_lg(G), S, T=T, weight=weight)
+
+    @staticmethod
+    def node_expansion(G, S, **kw):
+        return api.node_expansion(_lg(G), S)
+
+    @staticmethod
+    def boundary_expansion(G, S, **kw):
+        return api.boundary_expansion(_lg(G), S)
+
+    @staticmethod
+    def node_boundary(G, nbunch1, nbunch2=None, **kw):
+        back = _back(G)
+        return {back[k] for k in api.node_boundary(_lg(G), nbunch1, nbunch2)}
+
+    @staticmethod
+    def edge_boundary(G, nbunch1, nbunch2=None, data=False, keys=False,
+                      default=None, **kw):
+        if data:
+            raise NotImplementedError("edge_boundary data= is not supported")
+        back = _back(G)
+        return iter(
+            [
+                (back[u], back[v])
+                for u, v in api.edge_boundary(_lg(G), nbunch1, nbunch2)
+            ]
+        )
 
     @staticmethod
     def voterank(G, number_of_nodes=None, **kw):

@@ -31,6 +31,18 @@ from .bipartite import bipartite_color, is_bipartite  # noqa: F401
 from .triads import triadic_census  # noqa: F401
 from .voterank import voterank  # noqa: F401
 from .squares import square_clustering  # noqa: F401
+from .cuts import (  # noqa: F401
+    boundary_expansion,
+    conductance,
+    cut_size,
+    edge_boundary,
+    edge_expansion,
+    mixing_expansion,
+    node_boundary,
+    node_expansion,
+    normalized_cut_size,
+    volume,
+)
 from .distance import (  # noqa: F401
     barycenter,
     center,
