@@ -765,6 +765,36 @@ def q_cuts_profile(spark, sf_dir):
     )
 
 
+def q_partition_quality(spark, sf_dir):
+    """One-row (coverage, performance) of the i//7 block partition on
+    the circulant(1,2) (operators/quality.py): ring neighbors mostly
+    share a block, the block boundaries and the wrap chords are inter
+    edges — both scores land strictly inside (0,1). Exact-integer
+    counts, two IEEE divisions."""
+    from nx_neptune_spark.operators.quality import partition_quality
+
+    g = _circulant_graph(spark, sf_dir)
+    a = g.vertices.select("vid", (F.col("vid") / 7).cast("long").alias("community"))
+    cov, perf = partition_quality(g, a)
+    return spark.createDataFrame(
+        [(round(cov, 12), round(perf, 12))], "coverage double, performance double"
+    )
+
+
+def q_constraint(spark, sf_dir):
+    """Per-vertex Burt constraint (operators/holes.py) on the
+    circulant+10-clique fixture: clique members are maximally
+    constrained, plain ring vertices less so, the boundary mixes.
+    Unweighted undirected p(u,v) = 1/deg(u); exact-integer degrees ->
+    a fixed IEEE sequence reproduced in DuckDB."""
+    from nx_neptune_spark.operators.holes import constraint
+
+    g = _truss_graph(spark, sf_dir)
+    return constraint(g).select(
+        "vid", F.round("constraint", 12).alias("constraint")
+    )
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1517,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_profile": q_distance_profile,
         "reaching": q_reaching,
         "cuts_profile": q_cuts_profile,
+        "partition_quality": q_partition_quality,
+        "constraint": q_constraint,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2538,6 +2570,61 @@ FROM cut, vols, counts, nbhd, bdy
 """
 
 
+def _partition_quality_sql() -> str:
+    """(coverage, performance) oracle for the i//7 block partition on
+    the circulant (operators/quality.py): intra edges by block tag,
+    possible inter pairs = (N² − Σ size²)/2."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+tagged AS (
+  SELECT CASE WHEN e.u // 7 = e.v // 7 THEN 1 ELSE 0 END AS intra FROM e),
+agg AS (SELECT count(*) AS m, sum(intra) AS intra FROM tagged),
+sizes AS (SELECT i // 7 AS b, count(*) AS s FROM ids GROUP BY 1),
+sz AS (SELECT sum(s) AS nn, sum(s * s) AS sq FROM sizes)
+SELECT round(CAST(agg.intra AS DOUBLE) / agg.m, 12) AS coverage,
+       round(CAST(agg.intra + ((sz.nn * sz.nn - sz.sq) // 2 - (agg.m - agg.intra))
+                  AS DOUBLE)
+             / CAST(sz.nn * (sz.nn - 1) // 2 AS DOUBLE), 12) AS performance
+FROM agg, sz
+"""
+
+
+def _constraint_sql() -> str:
+    """Burt-constraint oracle on the circulant+10-clique fixture
+    (operators/holes.py): unweighted undirected p(u,v) = 1/deg(u)
+    scaled identically to the engine (mutual weight 2 over scale
+    2·deg — exact power-of-two scaling, bit-equal p), indirect term
+    via the common-neighbor wedge join, per-u sum of squares."""
+    return f"""
+WITH
+{_truss_und_edges_cte()},
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+p AS (
+  SELECT s.src AS u, s.dst AS v, 2.0 / (2.0 * d.deg) AS p
+  FROM sym s JOIN dv d ON d.vid = s.src),
+ind AS (
+  SELECT p1.u, p2.v, sum(p1.p * p2.p) AS ind
+  FROM p p1 JOIN p p2 ON p2.u = p1.v AND p2.v <> p1.u
+  GROUP BY p1.u, p2.v),
+lc AS (
+  SELECT p.u, p.v,
+         (p.p + coalesce(i.ind, 0.0)) * (p.p + coalesce(i.ind, 0.0)) AS lc
+  FROM p LEFT JOIN ind i ON i.u = p.u AND i.v = p.v)
+SELECT ids.i AS vid,
+       round(sum(lc.lc), 12) AS constraint
+FROM ids LEFT JOIN lc ON lc.u = ids.i
+GROUP BY ids.i
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -3127,6 +3214,8 @@ def oracle_sql() -> dict[str, str]:
         "distance_profile": _distance_profile_sql(),
         "reaching": _reaching_sql(),
         "cuts_profile": _cuts_profile_sql(),
+        "partition_quality": _partition_quality_sql(),
+        "constraint": _constraint_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

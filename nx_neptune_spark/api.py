@@ -747,6 +747,53 @@ def global_reaching_centrality(
     return _grc(graph)
 
 
+def partition_quality(graph: LinkGraph, partition) -> tuple[float, float]:
+    """``nx.community.partition_quality`` shape: (coverage,
+    performance). ``partition`` = iterable of node collections."""
+    from .operators.quality import partition_quality as _pq
+
+    vid_of = graph.vid_of()
+    rows = [
+        (vid_of[str(n)], i)
+        for i, comm in enumerate(partition)
+        for n in comm
+    ]
+    a = graph.spark.createDataFrame(rows, "vid long, community long")
+    return _pq(graph, a)
+
+
+def constraint(graph: LinkGraph, nodes=None, weight=None) -> dict:
+    """``nx.constraint`` shape: {node: c(u)}, NaN for isolates."""
+    from .operators.holes import constraint as _c
+
+    name_of = graph.name_of()
+    res = {
+        name_of[r["vid"]]: (
+            float("nan") if r["constraint"] is None else r["constraint"]
+        )
+        for r in _c(graph, weight=weight).collect()
+    }
+    if nodes is not None:
+        return {str(n): res[str(n)] for n in nodes}
+    return res
+
+
+def local_constraint(graph: LinkGraph, u, v, weight=None) -> float:
+    """``nx.local_constraint`` shape (scalar for one ordered pair)."""
+    from .operators.holes import local_constraints as _lc
+
+    vid_of = graph.vid_of()
+    uu, vv = vid_of[str(u)], vid_of[str(v)]
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    row = (
+        _lc(graph, weight=weight)
+        .where((F.col("u") == uu) & (F.col("v") == vv))
+        .first()
+    )
+    return float(row["local_constraint"]) if row is not None else 0.0
+
+
 def _vids_of(graph: LinkGraph, nodes) -> list[int]:
     vid_of = graph.vid_of()
     return [vid_of[str(n)] for n in nodes]

@@ -78,6 +78,9 @@ ALGORITHMS = [
     "boundary_expansion",
     "node_boundary",
     "edge_boundary",
+    "partition_quality",
+    "constraint",
+    "local_constraint",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -586,6 +589,25 @@ class BackendInterface:
             )
         except ValueError as err:
             raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def partition_quality(G, partition, **kw):
+        import networkx as nx
+        from networkx.algorithms.community.community_utils import is_partition
+
+        if not is_partition(G, partition):
+            raise nx.NetworkXError("`partition` is not a valid partition of G")
+        return api.partition_quality(_lg(G), partition)
+
+    @staticmethod
+    def constraint(G, nodes=None, weight=None, **kw):
+        back = _back(G)
+        res = api.constraint(_lg(G), nodes=nodes, weight=weight)
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def local_constraint(G, u, v, weight=None, **kw):
+        return api.local_constraint(_lg(G), u, v, weight=weight)
 
     @staticmethod
     def cut_size(G, S, T=None, weight=None, **kw):

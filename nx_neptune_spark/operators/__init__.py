@@ -31,6 +31,8 @@ from .bipartite import bipartite_color, is_bipartite  # noqa: F401
 from .triads import triadic_census  # noqa: F401
 from .voterank import voterank  # noqa: F401
 from .squares import square_clustering  # noqa: F401
+from .quality import partition_quality  # noqa: F401
+from .holes import constraint, local_constraints  # noqa: F401
 from .cuts import (  # noqa: F401
     boundary_expansion,
     conductance,
