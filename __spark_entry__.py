@@ -795,6 +795,56 @@ def q_constraint(spark, sf_dir):
     )
 
 
+def q_laplacian(spark, sf_dir):
+    """Per-vertex Laplacian centrality (operators/laplacian.py,
+    Qi 2012 energy drop via the one-pass closed form) on the
+    circulant+10-clique fixture. Integer degrees -> one IEEE division
+    by the integer full energy, identical in DuckDB."""
+    from nx_neptune_spark.operators.laplacian import laplacian_centrality
+
+    g = _truss_graph(spark, sf_dir)
+    return laplacian_centrality(g).select(
+        "vid", F.round("laplacian", 12).alias("laplacian")
+    )
+
+
+TREE_STAR_N = 50
+
+
+def q_tree_recognition(spark, sf_dir):
+    """One-row tree/forest/arborescence flags (operators/trees.py):
+    the 120-vertex 7-stride chain is a 7-component FOREST (not a
+    tree); a 50-vertex out-star from 0 is an ARBORESCENCE. Integer
+    0/1 columns, exact in DuckDB (component counts via closure)."""
+    from nx_neptune_spark.operators.trees import (
+        is_arborescence,
+        is_forest,
+        is_tree,
+    )
+
+    chain = _chain_graph(spark, sf_dir, limit=CLOSENESS_N)
+    ids, _ = _ids_n(spark, sf_dir)
+    star_ids = ids.where(F.col("i") < TREE_STAR_N)
+    star = LinkGraph(
+        star_ids.where(F.col("i") > 0).select(
+            F.lit(0).cast("long").alias("src"), F.col("i").alias("dst")
+        ),
+        star_ids.select(F.col("i").alias("vid")),
+        directed=True,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(is_tree(chain)),
+                int(is_forest(chain)),
+                int(is_tree(star)),
+                int(is_arborescence(star)),
+            )
+        ],
+        "chain_tree int, chain_forest int, star_tree int, star_arborescence int",
+    )
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1549,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuts_profile": q_cuts_profile,
         "partition_quality": q_partition_quality,
         "constraint": q_constraint,
+        "laplacian_centrality": q_laplacian,
+        "tree_recognition": q_tree_recognition,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2625,6 +2677,74 @@ GROUP BY ids.i
 """
 
 
+def _laplacian_sql() -> str:
+    """Laplacian-centrality oracle (operators/laplacian.py closed
+    form): cent(i) = d_i² + Σ_{j∈N(i)} (1 + 2·d_j) over integer
+    degrees, normalized by full energy Σd² + 2m."""
+    return f"""
+WITH
+{_truss_und_edges_cte()},
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nbr AS (
+  SELECT s.src AS vid, sum(1 + 2 * d.deg) AS nsum
+  FROM sym s JOIN dv d ON d.vid = s.dst GROUP BY s.src),
+energy AS (
+  SELECT (SELECT sum(deg * deg) FROM dv)
+         + 2 * (SELECT count(*) FROM e) AS en)
+SELECT i AS vid,
+       round(CAST(coalesce(d.deg * d.deg, 0) + coalesce(nb.nsum, 0) AS DOUBLE)
+             / energy.en, 12) AS laplacian
+FROM ids LEFT JOIN dv d ON d.vid = i LEFT JOIN nbr nb ON nb.vid = i, energy
+"""
+
+
+def _tree_recognition_sql() -> str:
+    """Tree/forest flags oracle (operators/trees.py): a graph is a
+    forest iff m = n − c (component count via recursive closure); the
+    chain has 7 path components, the 50-star is one arborescence."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+ch AS (SELECT i AS u, i + {CHAIN_STRIDE} AS v FROM ids
+       WHERE i + {CHAIN_STRIDE} < {CLOSENESS_N}),
+sym AS (SELECT u AS src, v AS dst FROM ch UNION ALL SELECT v, u FROM ch),
+r(v, lbl) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT e.dst, r.lbl FROM r JOIN sym e ON e.src = r.v
+),
+lab AS (SELECT v, min(lbl) AS lbl FROM r GROUP BY v),
+chain_stats AS (
+  SELECT (SELECT count(*) FROM ch) AS m,
+         (SELECT count(*) FROM ids) AS n,
+         (SELECT count(DISTINCT lbl) FROM lab) AS c),
+sids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {TREE_STAR_N}),
+se AS (SELECT 0 AS src, i AS dst FROM sids WHERE i > 0),
+ssym AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+sr(v, lbl) AS (
+  SELECT i, i FROM sids
+  UNION
+  SELECT e.dst, sr.lbl FROM sr JOIN ssym e ON e.src = sr.v
+),
+slab AS (SELECT v, min(lbl) AS lbl FROM sr GROUP BY v),
+star_stats AS (
+  SELECT (SELECT count(*) FROM se) AS m,
+         (SELECT count(*) FROM sids) AS n,
+         (SELECT count(DISTINCT lbl) FROM slab) AS c,
+         (SELECT max(cnt) FROM (
+            SELECT count(*) AS cnt FROM se GROUP BY dst)) AS max_indeg)
+SELECT CAST(CASE WHEN cs.m = cs.n - 1 AND cs.c = 1 THEN 1 ELSE 0 END AS INT)
+         AS chain_tree,
+       CAST(CASE WHEN cs.m = cs.n - cs.c THEN 1 ELSE 0 END AS INT)
+         AS chain_forest,
+       CAST(CASE WHEN ss.m = ss.n - 1 AND ss.c = 1 THEN 1 ELSE 0 END AS INT)
+         AS star_tree,
+       CAST(CASE WHEN ss.m = ss.n - 1 AND ss.c = 1 AND ss.max_indeg <= 1
+                 THEN 1 ELSE 0 END AS INT) AS star_arborescence
+FROM chain_stats cs, star_stats ss
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -3216,6 +3336,8 @@ def oracle_sql() -> dict[str, str]:
         "cuts_profile": _cuts_profile_sql(),
         "partition_quality": _partition_quality_sql(),
         "constraint": _constraint_sql(),
+        "laplacian_centrality": _laplacian_sql(),
+        "tree_recognition": _tree_recognition_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

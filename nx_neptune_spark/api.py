@@ -747,6 +747,51 @@ def global_reaching_centrality(
     return _grc(graph)
 
 
+def laplacian_centrality(
+    graph: LinkGraph,
+    normalized: bool = True,
+    nodelist=None,
+    walk_type=None,
+    alpha: float = 0.95,
+    weight: str | None = "weight",
+) -> dict:
+    """``nx.laplacian_centrality`` shape: {node: centrality}."""
+    from .operators.laplacian import laplacian_centrality as _lap
+
+    name_of = graph.name_of()
+    res = {
+        name_of[r["vid"]]: r["laplacian"]
+        for r in _lap(graph, normalized=normalized, weight=weight).collect()
+    }
+    if nodelist is not None:
+        return {str(n): res[str(n)] for n in nodelist}
+    return res
+
+
+def is_tree(graph: LinkGraph) -> bool:
+    from .operators.trees import is_tree as _f
+
+    return _f(graph)
+
+
+def is_forest(graph: LinkGraph) -> bool:
+    from .operators.trees import is_forest as _f
+
+    return _f(graph)
+
+
+def is_branching(graph: LinkGraph) -> bool:
+    from .operators.trees import is_branching as _f
+
+    return _f(graph)
+
+
+def is_arborescence(graph: LinkGraph) -> bool:
+    from .operators.trees import is_arborescence as _f
+
+    return _f(graph)
+
+
 def partition_quality(graph: LinkGraph, partition) -> tuple[float, float]:
     """``nx.community.partition_quality`` shape: (coverage,
     performance). ``partition`` = iterable of node collections."""

@@ -81,6 +81,11 @@ ALGORITHMS = [
     "partition_quality",
     "constraint",
     "local_constraint",
+    "laplacian_centrality",
+    "is_tree",
+    "is_forest",
+    "is_branching",
+    "is_arborescence",
     "global_efficiency",
     "rich_club_coefficient",
     "effective_size",
@@ -589,6 +594,49 @@ class BackendInterface:
             )
         except ValueError as err:
             raise nx.NetworkXError(str(err)) from err
+
+    @staticmethod
+    def laplacian_centrality(
+        G, normalized=True, nodelist=None, walk_type=None, alpha=0.95,
+        weight="weight", **kw
+    ):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.laplacian_centrality(
+                _lg(G), normalized=normalized, nodelist=nodelist,
+                walk_type=walk_type, alpha=alpha, weight=weight,
+            )
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def is_tree(G, **kw):
+        import networkx as nx
+
+        try:
+            return api.is_tree(_lg(G))
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+
+    @staticmethod
+    def is_forest(G, **kw):
+        import networkx as nx
+
+        try:
+            return api.is_forest(_lg(G))
+        except ValueError as e:
+            raise nx.NetworkXPointlessConcept(str(e)) from e
+
+    @staticmethod
+    def is_branching(G, **kw):
+        return api.is_branching(_lg(G))
+
+    @staticmethod
+    def is_arborescence(G, **kw):
+        return api.is_arborescence(_lg(G))
 
     @staticmethod
     def partition_quality(G, partition, **kw):

@@ -32,6 +32,13 @@ from .triads import triadic_census  # noqa: F401
 from .voterank import voterank  # noqa: F401
 from .squares import square_clustering  # noqa: F401
 from .quality import partition_quality  # noqa: F401
+from .laplacian import laplacian_centrality  # noqa: F401
+from .trees import (  # noqa: F401
+    is_arborescence,
+    is_branching,
+    is_forest,
+    is_tree,
+)
 from .holes import constraint, local_constraints  # noqa: F401
 from .cuts import (  # noqa: F401
     boundary_expansion,
