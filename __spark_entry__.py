@@ -845,6 +845,29 @@ def q_tree_recognition(spark, sf_dir):
     )
 
 
+NODECLASS_ITERS = 6  # unrolled label-spreading depth (exact dyadics)
+
+
+def q_node_classification(spark, sf_dir):
+    """Harmonic-function label spreading (operators/nodeclass.py,
+    Zhu ICML'03) on the 4-regular circulant(1,2) with seeds
+    'a' at i%50==0 and 'b' at i%50==25: P entries are exactly 1/4
+    (dyadic), so every F value after 6 iterations is an exact dyadic
+    rational — sums are order-independent doubles and the unrolled
+    DuckDB oracle matches bit-for-bit, argmax ties included."""
+    from nx_neptune_spark.operators.nodeclass import harmonic_function
+
+    g = _circulant_graph(spark, sf_dir)
+    ids, _ = _ids_n(spark, sf_dir)
+    labels = ids.where(F.col("i") % 25 == 0).select(
+        F.col("i").alias("vid"),
+        F.when(F.col("i") % 50 == 0, F.lit("a")).otherwise(F.lit("b")).alias(
+            "label"
+        ),
+    )
+    return harmonic_function(g, labels, max_iter=NODECLASS_ITERS, weight=None)
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1601,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint": q_constraint,
         "laplacian_centrality": q_laplacian,
         "tree_recognition": q_tree_recognition,
+        "node_classification": q_node_classification,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2745,6 +2769,53 @@ FROM chain_stats cs, star_stats ss
 """
 
 
+def _node_classification_sql(k: int = None) -> str:
+    """Unrolled harmonic-function oracle (operators/nodeclass.py):
+    P = A/deg with labeled rows dropped, F_1 = B, F_j = P·F_{j−1} + B,
+    argmax with min-class tie-break — the identical dyadic arithmetic
+    (deg is exactly 4 on the circulant, so p = 0.25 and every sum is
+    an exact double)."""
+    k = k or NODECLASS_ITERS
+    parts = [
+        """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+),
+und AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+        FROM raw WHERE src <> dst),
+sym AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+dv AS (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY src),
+seeds AS (
+  SELECT i AS vid, CASE WHEN i % 50 = 0 THEN 0 ELSE 1 END AS cls
+  FROM ids WHERE i % 25 = 0),
+p AS (
+  SELECT s.src, s.dst, 1.0 / d.deg AS p
+  FROM sym s JOIN dv d ON d.vid = s.src
+  WHERE s.src NOT IN (SELECT vid FROM seeds)),
+b AS (SELECT vid, cls, 1.0::DOUBLE AS f FROM seeds),
+f1 AS (SELECT * FROM b)"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(f"""
+s{j} AS (
+  SELECT p.src AS vid, f.cls, sum(p.p * f.f) AS f
+  FROM p JOIN f{j - 1} f ON f.vid = p.dst GROUP BY p.src, f.cls),
+f{j} AS (
+  SELECT vid, cls, sum(f) AS f FROM (
+    SELECT * FROM s{j} UNION ALL SELECT * FROM b) z GROUP BY vid, cls)""")
+    return ",".join(parts) + f"""
+SELECT ids.i AS vid,
+       CASE coalesce(best.cls, 0) WHEN 0 THEN 'a' ELSE 'b' END AS label
+FROM ids LEFT JOIN (
+  SELECT vid, min(cls) AS cls FROM f{k} x
+  WHERE f > 0 AND f = (SELECT max(f) FROM f{k} y WHERE y.vid = x.vid)
+  GROUP BY vid) best ON best.vid = ids.i
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -3338,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint": _constraint_sql(),
         "laplacian_centrality": _laplacian_sql(),
         "tree_recognition": _tree_recognition_sql(),
+        "node_classification": _node_classification_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

@@ -792,6 +792,47 @@ def is_arborescence(graph: LinkGraph) -> bool:
     return _f(graph)
 
 
+def _labels_df(graph: LinkGraph, labels: dict) -> DataFrame:
+    vid_of = graph.vid_of()
+    return graph.spark.createDataFrame(
+        [(vid_of[str(n)], str(v)) for n, v in labels.items()],
+        "vid long, label string",
+    )
+
+
+def harmonic_function(
+    graph: LinkGraph, labels: dict, max_iter: int = 30, weight=None
+) -> dict:
+    """``nx.node_classification.harmonic_function`` shape:
+    {node: predicted_label}; ``labels`` = {node: seed_label}."""
+    from .operators.nodeclass import harmonic_function as _hf
+
+    name_of = graph.name_of()
+    out = _hf(graph, _labels_df(graph, labels), max_iter=max_iter, weight=weight)
+    return {name_of[r["vid"]]: r["label"] for r in out.collect()}
+
+
+def local_and_global_consistency(
+    graph: LinkGraph,
+    labels: dict,
+    alpha: float = 0.99,
+    max_iter: int = 30,
+    weight=None,
+) -> dict:
+    """``nx.node_classification.local_and_global_consistency`` shape."""
+    from .operators.nodeclass import local_and_global_consistency as _lgc
+
+    name_of = graph.name_of()
+    out = _lgc(
+        graph,
+        _labels_df(graph, labels),
+        alpha=alpha,
+        max_iter=max_iter,
+        weight=weight,
+    )
+    return {name_of[r["vid"]]: r["label"] for r in out.collect()}
+
+
 def partition_quality(graph: LinkGraph, partition) -> tuple[float, float]:
     """``nx.community.partition_quality`` shape: (coverage,
     performance). ``partition`` = iterable of node collections."""

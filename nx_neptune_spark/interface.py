@@ -82,6 +82,8 @@ ALGORITHMS = [
     "constraint",
     "local_constraint",
     "laplacian_centrality",
+    "harmonic_function",
+    "local_and_global_consistency",
     "is_tree",
     "is_forest",
     "is_branching",
@@ -637,6 +639,42 @@ class BackendInterface:
     @staticmethod
     def is_arborescence(G, **kw):
         return api.is_arborescence(_lg(G))
+
+    @staticmethod
+    def harmonic_function(G, max_iter=30, label_name="label", **kw):
+        import networkx as nx
+
+        seeds = {
+            n: d[label_name] for n, d in G.nodes(data=True) if label_name in d
+        }
+        if not seeds:
+            raise nx.NetworkXError(
+                f"No node on the input graph is labeled by '{label_name}'."
+            )
+        res = api.harmonic_function(_lg(G), seeds, max_iter=max_iter)
+        # nx returns predicted labels as a LIST in G's node order; the
+        # original (non-str) label objects are restored via the seeds
+        lbl = {str(v): v for v in seeds.values()}
+        return [lbl[res[k]] for k in (str(n) for n in G)]
+
+    @staticmethod
+    def local_and_global_consistency(
+        G, alpha=0.99, max_iter=30, label_name="label", **kw
+    ):
+        import networkx as nx
+
+        seeds = {
+            n: d[label_name] for n, d in G.nodes(data=True) if label_name in d
+        }
+        if not seeds:
+            raise nx.NetworkXError(
+                f"No node on the input graph is labeled by '{label_name}'."
+            )
+        res = api.local_and_global_consistency(
+            _lg(G), seeds, alpha=alpha, max_iter=max_iter
+        )
+        lbl = {str(v): v for v in seeds.values()}
+        return [lbl[res[k]] for k in (str(n) for n in G)]
 
     @staticmethod
     def partition_quality(G, partition, **kw):

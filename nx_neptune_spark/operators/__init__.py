@@ -33,6 +33,10 @@ from .voterank import voterank  # noqa: F401
 from .squares import square_clustering  # noqa: F401
 from .quality import partition_quality  # noqa: F401
 from .laplacian import laplacian_centrality  # noqa: F401
+from .nodeclass import (  # noqa: F401
+    harmonic_function,
+    local_and_global_consistency,
+)
 from .trees import (  # noqa: F401
     is_arborescence,
     is_branching,
