@@ -868,6 +868,40 @@ def q_node_classification(spark, sf_dir):
     return harmonic_function(g, labels, max_iter=NODECLASS_ITERS, weight=None)
 
 
+TROPHIC_ITERS = 20  # DAG depth is 17 on the fixture; extra rounds are identities
+
+
+def _trophic_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed DAG on 120 vertices: i -> i+7, plus i -> i+10 for even
+    i. In-strengths are 1 or 2 so the Jacobi operator entries are
+    exactly 1 or 1/2 (dyadic) — levels are exact doubles, and every
+    vertex is reachable from the basal set {i : no j+7/j+10 hits i}."""
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < CLOSENESS_N)
+    e7 = ids.where(F.col("i") + 7 < CLOSENESS_N).select(
+        F.col("i").alias("src"), (F.col("i") + 7).alias("dst")
+    )
+    e10 = ids.where((F.col("i") % 2 == 0) & (F.col("i") + 10 < CLOSENESS_N)).select(
+        F.col("i").alias("src"), (F.col("i") + 10).alias("dst")
+    )
+    return LinkGraph(
+        e7.unionByName(e10), ids.select(F.col("i").alias("vid")), directed=True
+    )
+
+
+def q_trophic_levels(spark, sf_dir):
+    """Trophic levels (operators/trophic.py, Levine 1980 hierarchy) on
+    the dyadic DAG fixture at 20 lazy Jacobi rounds — the exact
+    fixpoint is reached at depth 17, later rounds are identities, and
+    every value is an exact dyadic double both engines reproduce."""
+    from nx_neptune_spark.operators.trophic import trophic_levels
+
+    g = _trophic_graph(spark, sf_dir)
+    return trophic_levels(g, fixed_iterations=TROPHIC_ITERS).select(
+        "vid", F.round("level", 10).alias("level")
+    )
+
+
 def q_bipartite_color(spark, sf_dir):
     """Parity-BFS two-coloring (operators/bipartite.py) on the
     bipartite star+pairs fixture: root 0 colored 1, odd layer 0, even
@@ -1625,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplacian_centrality": q_laplacian,
         "tree_recognition": q_tree_recognition,
         "node_classification": q_node_classification,
+        "trophic_levels": q_trophic_levels,
         "bipartite_color": q_bipartite_color,
         "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
@@ -2816,6 +2851,36 @@ FROM ids LEFT JOIN (
 """
 
 
+def _trophic_sql(k: int = None) -> str:
+    """Unrolled Jacobi trophic-level oracle (operators/trophic.py):
+    level ← 1 + P·level over the dyadic DAG, k rounds (fixpoint at
+    depth 17; later rounds identities)."""
+    k = k or TROPHIC_ITERS
+    parts = [
+        f"""
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {CLOSENESS_N}),
+e AS MATERIALIZED (
+  SELECT i AS src, i + 7 AS dst FROM ids WHERE i + 7 < {CLOSENESS_N}
+  UNION ALL
+  SELECT i, i + 10 FROM ids WHERE i % 2 = 0 AND i + 10 < {CLOSENESS_N}),
+instr AS (SELECT dst AS vid, count(*) AS s FROM e GROUP BY dst),
+p AS (
+  SELECT e.src, e.dst, 1.0 / i.s AS p FROM e JOIN instr i ON i.vid = e.dst),
+l0 AS (SELECT i AS vid, 1.0::DOUBLE AS level FROM ids)"""
+    ]
+    for j in range(1, k + 1):
+        parts.append(f"""
+l{j} AS (
+  SELECT ids.i AS vid, 1.0 + coalesce(c.s, 0.0) AS level
+  FROM ids LEFT JOIN (
+    SELECT p.dst AS vid, sum(p.p * l.level) AS s
+    FROM p JOIN l{j - 1} l ON l.vid = p.src GROUP BY p.dst) c
+  ON c.vid = ids.i)""")
+    return ",".join(parts) + f"""
+SELECT vid, round(level, 10) AS level FROM l{k}
+"""
+
+
 def _bipartite_color_sql() -> str:
     """Two-coloring oracle on the bipartite star+pairs fixture
     (operators/bipartite.py): BFS distances from the component root 0
@@ -3410,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "laplacian_centrality": _laplacian_sql(),
         "tree_recognition": _tree_recognition_sql(),
         "node_classification": _node_classification_sql(),
+        "trophic_levels": _trophic_sql(),
         "bipartite_color": _bipartite_color_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,"

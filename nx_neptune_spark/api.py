@@ -833,6 +833,36 @@ def local_and_global_consistency(
     return {name_of[r["vid"]]: r["label"] for r in out.collect()}
 
 
+def trophic_levels(graph: LinkGraph, weight="weight", **kw) -> dict:
+    """``nx.trophic_levels`` shape: {node: level}."""
+    from .operators.trophic import trophic_levels as _tl
+
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: r["level"]
+        for r in _tl(graph, weight=weight, **kw).collect()
+    }
+
+
+def trophic_differences(graph: LinkGraph, weight="weight", **kw) -> dict:
+    """``nx.trophic_differences`` shape: {(u, v): diff}."""
+    from .operators.trophic import trophic_differences as _td
+
+    name_of = graph.name_of()
+    return {
+        (name_of[r["src"]], name_of[r["dst"]]): r["diff"]
+        for r in _td(graph, weight=weight, **kw).collect()
+    }
+
+
+def trophic_incoherence_parameter(
+    graph: LinkGraph, weight="weight", cannibalism: bool = False, **kw
+) -> float:
+    from .operators.trophic import trophic_incoherence_parameter as _tip
+
+    return _tip(graph, weight=weight, cannibalism=cannibalism, **kw)
+
+
 def partition_quality(graph: LinkGraph, partition) -> tuple[float, float]:
     """``nx.community.partition_quality`` shape: (coverage,
     performance). ``partition`` = iterable of node collections."""

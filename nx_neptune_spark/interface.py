@@ -84,6 +84,9 @@ ALGORITHMS = [
     "laplacian_centrality",
     "harmonic_function",
     "local_and_global_consistency",
+    "trophic_levels",
+    "trophic_differences",
+    "trophic_incoherence_parameter",
     "is_tree",
     "is_forest",
     "is_branching",
@@ -639,6 +642,41 @@ class BackendInterface:
     @staticmethod
     def is_arborescence(G, **kw):
         return api.is_arborescence(_lg(G))
+
+    @staticmethod
+    def trophic_levels(G, weight="weight", **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.trophic_levels(_lg(G), weight=weight)
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def trophic_differences(G, weight="weight", **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.trophic_differences(_lg(G), weight=weight)
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        return {(back[u], back[v]): d for (u, v), d in res.items()}
+
+    @staticmethod
+    def trophic_incoherence_parameter(
+        G, weight="weight", cannibalism=False, **kw
+    ):
+        import networkx as nx
+
+        try:
+            return api.trophic_incoherence_parameter(
+                _lg(G), weight=weight, cannibalism=cannibalism
+            )
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
 
     @staticmethod
     def harmonic_function(G, max_iter=30, label_name="label", **kw):

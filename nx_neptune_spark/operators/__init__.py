@@ -37,6 +37,11 @@ from .nodeclass import (  # noqa: F401
     harmonic_function,
     local_and_global_consistency,
 )
+from .trophic import (  # noqa: F401
+    trophic_differences,
+    trophic_incoherence_parameter,
+    trophic_levels,
+)
 from .trees import (  # noqa: F401
     is_arborescence,
     is_branching,
