@@ -913,6 +913,59 @@ def q_bipartite_color(spark, sf_dir):
     return bipartite_color(g)
 
 
+WALK_LEN = 8  # walk length of the corpus contract query
+WALK_STARTS = 200  # walks start from vids < this
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators/walks.py) on the
+    skewed-degree quadratic-map digraph: 200 walks of length 8, next
+    hop = out-neighbor minimizing the md5-portable per-step hash.
+    Every vertex has out-degree >= 1 (the i+1 ring edge), so no walk
+    terminates early and the output is exactly 200*(8+1) integer rows
+    both engines reproduce bit-for-bit."""
+    from nx_neptune_spark.operators.walks import random_walks
+
+    g = _pr_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") < WALK_STARTS)
+    return random_walks(g, length=WALK_LEN, starts=starts)
+
+
+JP_ROUNDS = 16  # Jones-Plassmann fixpoint is 8-11 rounds on the
+# circulant at 500/5k/50k vertices (O(log n) growth); extra rounds
+# no-op on an empty active set in both engines
+JP_MAXC = 5  # palette bound for the degree-4 circulant (Δ+1)
+
+
+def q_greedy_color(spark, sf_dir):
+    """Deterministic Jones-Plassmann coloring (operators/coloring.py)
+    on the undirected circulant(1,2): md5-portable priorities, local
+    maxima color each round with the smallest color absent from their
+    colored neighborhoods. Integer output, bit-exact vs the unrolled
+    DuckDB mex arithmetic."""
+    from nx_neptune_spark.operators.coloring import greedy_color
+
+    g = _circulant_graph(spark, sf_dir)
+    return greedy_color(g, max_rounds=JP_ROUNDS)
+
+
+MIS_ROUNDS = 8  # Luby fixpoint is 3-4 rounds on the circulant at every
+# shipped sf (simulated 500/5k/50k vertices); extra rounds are no-ops
+# (empty active set) in BOTH engines, so the pinned depth is scale-safe
+
+
+def q_maximal_independent_set(spark, sf_dir):
+    """Deterministic Luby MIS (operators/mis.py) on the undirected
+    circulant(1,2): md5-portable priorities, (p, vid) lexicographic
+    symmetry breaking, winners + neighbors retired per round. Output
+    (vid, round) is integer-exact; the DuckDB oracle unrolls the same
+    rounds over the same hash arithmetic."""
+    from nx_neptune_spark.operators.mis import maximal_independent_set
+
+    g = _circulant_graph(spark, sf_dir)
+    return maximal_independent_set(g, max_rounds=MIS_ROUNDS)
+
+
 def q_voterank(spark, sf_dir):
     """VoteRank seed election (operators/voterank.py, Zhang 2016) on
     the 4-out-regular circulant: 6 rounds of vote -> elect ->
@@ -1647,6 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_degree": q_neighbor_degree,
         "triadic_census": q_triadic_census,
         "voterank": q_voterank,
+        "maximal_independent_set": q_maximal_independent_set,
+        "random_walks": q_random_walks,
+        "greedy_color": q_greedy_color,
         "rich_club": q_rich_club,
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
@@ -2909,6 +2965,146 @@ FROM ids LEFT JOIN md ON md.v = i
 """
 
 
+def _random_walks_sql(length: int = None) -> str:
+    """Unrolled random-walk oracle (operators/walks.py): per step join
+    the walk frontier to the quadratic-map edge table, pick the
+    out-neighbor minimizing the identical md5 hash (row_number over
+    (h, dst) = the operator's min(struct(h, dst))). Steps are
+    MATERIALIZED — the frontier is referenced twice per step."""
+    length = length or WALK_LEN
+    parts = [
+        f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i * i + 1) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i * 7 + 3) % c FROM ids, n
+    UNION ALL SELECT i, (i + 1) % c FROM ids, n) z
+  WHERE src <> dst),
+s0 AS MATERIALIZED (
+  SELECT i AS start, 0 AS rep, i AS vid FROM ids WHERE i < {WALK_STARTS})"""
+    ]
+    for t in range(length):
+        parts.append(f"""
+c{t} AS (
+  SELECT s.start, s.rep, e.dst,
+         ('0x' || substr(md5(concat_ws(':', 'walk', s.start, s.rep, {t}, e.dst)), 1, 15))::BIGINT AS h
+  FROM s{t} s JOIN e ON e.src = s.vid),
+s{t + 1} AS MATERIALIZED (
+  SELECT start, rep, dst AS vid FROM (
+    SELECT start, rep, dst,
+           row_number() OVER (PARTITION BY start, rep ORDER BY h, dst) AS rn
+    FROM c{t}) WHERE rn = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT start, rep, {t} AS step, vid FROM s{t}" for t in range(length + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"\nSELECT start, CAST(rep AS INT) AS rep, CAST(step AS INT) AS step, vid FROM ({union})"
+    )
+
+
+def _greedy_color_sql(k: int = None) -> str:
+    """Unrolled Jones-Plassmann oracle (operators/coloring.py): per
+    round local (p, vid)-maxima win; each winner's color is the mex of
+    its already-colored neighborhood, computed as the min value of
+    0..Δ+1 absent from the used-color set. Round CTEs MATERIALIZED
+    (multiply referenced — default inlining is exponential in depth)."""
+    k = k or JP_ROUNDS
+    parts = [
+        """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+fwd AS (
+  SELECT i AS src, (i + 1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+  WHERE src <> dst),
+act0 AS MATERIALIZED (
+  SELECT i AS vid,
+         ('0x' || substr(md5('color:' || i), 1, 15))::BIGINT AS p
+  FROM ids),
+col0 AS (SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS INTEGER) AS color
+         WHERE 1 = 0)"""
+    ]
+    for r in range(k):
+        parts.append(f"""
+beat{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS vid
+  FROM e JOIN act{r} a ON e.src = a.vid JOIN act{r} b ON e.dst = b.vid
+  WHERE (b.p > a.p) OR (b.p = a.p AND e.dst > e.src)),
+win{r} AS MATERIALIZED (
+  SELECT vid FROM act{r} WHERE vid NOT IN (SELECT vid FROM beat{r})),
+used{r} AS MATERIALIZED (
+  SELECT e.src AS vid, cl.color AS c
+  FROM e JOIN win{r} w ON e.src = w.vid JOIN col{r} cl ON cl.vid = e.dst
+  GROUP BY e.src, cl.color),
+newc{r} AS MATERIALIZED (
+  SELECT w.vid, CAST(min(gs.c) AS INTEGER) AS color
+  FROM win{r} w CROSS JOIN generate_series(0, {JP_MAXC}) gs(c)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM used{r} u WHERE u.vid = w.vid AND u.c = gs.c)
+  GROUP BY w.vid),
+col{r + 1} AS MATERIALIZED (
+  SELECT vid, color FROM col{r} UNION ALL SELECT vid, color FROM newc{r}),
+act{r + 1} AS MATERIALIZED (
+  SELECT vid, p FROM act{r}
+  WHERE vid NOT IN (SELECT vid FROM newc{r}))""")
+    return (
+        ",".join(parts)
+        + f"\nSELECT vid, color FROM col{k}"
+    )
+
+
+def _mis_sql(k: int = None) -> str:
+    """Unrolled Luby-MIS oracle (operators/mis.py): same md5-portable
+    priorities (hash60('mis:'||vid)), same (p, vid) lexicographic win
+    rule, winners ∪ their neighbors retired per round. Rounds past the
+    fixpoint operate on an empty active set and emit nothing, so the
+    pinned depth only needs to be >= the measured 3-4."""
+    k = k or MIS_ROUNDS
+    parts = [
+        """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+fwd AS (
+  SELECT i AS src, (i + 1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+  WHERE src <> dst),
+act0 AS MATERIALIZED (
+  SELECT i AS vid,
+         ('0x' || substr(md5('mis:' || i), 1, 15))::BIGINT AS p
+  FROM ids)"""
+    ]
+    # every round CTE is MATERIALIZED: act{r} is referenced three times
+    # per round, so default CTE inlining would expand the plan (and the
+    # parquet scan count) exponentially in the round depth
+    for r in range(k):
+        parts.append(f"""
+beat{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS vid
+  FROM e JOIN act{r} a ON e.src = a.vid JOIN act{r} b ON e.dst = b.vid
+  WHERE (b.p < a.p) OR (b.p = a.p AND e.dst < e.src)),
+win{r} AS MATERIALIZED (
+  SELECT vid FROM act{r} WHERE vid NOT IN (SELECT vid FROM beat{r})),
+gone{r} AS MATERIALIZED (
+  SELECT vid FROM win{r}
+  UNION SELECT e.dst FROM e JOIN win{r} w ON e.src = w.vid),
+act{r + 1} AS MATERIALIZED (
+  SELECT vid, p FROM act{r}
+  WHERE vid NOT IN (SELECT vid FROM gone{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT vid, {r} AS round FROM win{r}" for r in range(k)
+    )
+    return ",".join(parts) + f"\nSELECT vid, CAST(round AS INT) AS round FROM ({union})"
+
+
 def _voterank_sql(k: int = None) -> str:
     """Unrolled VoteRank oracle (operators/voterank.py): k rounds of
     score = Σ ability(out-nbr), argmax by (score DESC, vid), elected
@@ -3463,6 +3659,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_degree": _neighbor_degree_sql(),
         "triadic_census": _triadic_census_sql(),
         "voterank": _voterank_sql(),
+        "maximal_independent_set": _mis_sql(),
+        "random_walks": _random_walks_sql(),
+        "greedy_color": _greedy_color_sql(),
         "rich_club": _rich_club_sql(),
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),

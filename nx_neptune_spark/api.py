@@ -1215,6 +1215,69 @@ def k_truss_edges(graph: LinkGraph, k: int) -> set:
     }
 
 
+def maximal_independent_set(graph: LinkGraph, nodes=None, seed=None, **ignored) -> list:
+    """nx.maximal_independent_set-shaped node list. ``nodes`` seeds the
+    set (nx semantics: must exist and be pairwise non-adjacent; the
+    result contains them). ``seed`` is accepted and ignored — this
+    engine's randomness is a pinned portable hash, so the result is
+    reproducible by construction (nx's is only reproducible per-seed)."""
+    from pyspark.sql import functions as F
+
+    from .operators.mis import maximal_independent_set as _mis
+
+    name_of = graph.name_of()
+    if not nodes:
+        rows = _mis(graph).collect()
+        return [name_of[r["vid"]] for r in rows]
+
+    vid_of = graph.vid_of()
+    missing = [n for n in nodes if str(n) not in vid_of]
+    if missing:
+        raise ValueError(f"{missing} is not a subset of the nodes of the graph")
+    seed_vids = {vid_of[str(n)] for n in nodes}
+    fwd = graph.edges.select("src", "dst")
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
+    seed_df = graph.spark.createDataFrame(
+        [(int(v),) for v in seed_vids], "vid long"
+    )
+    both_in = (
+        sym.join(seed_df.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(seed_df.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )
+    if not both_in.isEmpty():
+        raise ValueError(f"{list(nodes)} is not an independent set of the graph")
+    # retire the seeds and their neighbors, run Luby on the residual
+    nbrs = sym.join(
+        seed_df.withColumnRenamed("vid", "src"), "src", "left_semi"
+    ).select(F.col("dst").alias("vid"))
+    gone = seed_df.unionByName(nbrs).distinct()
+    residual_edges = (
+        fwd.join(gone.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .join(gone.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+    )
+    residual_verts = graph.vertices.select("vid").join(gone, "vid", "left_anti")
+    residual = LinkGraph(residual_edges, residual_verts, directed=graph.directed)
+    rows = _mis(residual).collect()
+    return [name_of[v] for v in sorted(seed_vids)] + [
+        name_of[r["vid"]] for r in rows
+    ]
+
+
+def greedy_color(graph: LinkGraph, strategy="largest_first", **ignored) -> dict:
+    """nx.greedy_color-shaped {node: color}. The sequential visit
+    order behind nx's strategies cannot be replayed distributively;
+    this is the Jones-Plassmann coloring (deterministic, proper,
+    palette ≤ Δ+1 — the same contract nx's greedy guarantees).
+    ``strategy`` is accepted and ignored, the reference's
+    warn-and-ignore pattern for order-dependent parameters."""
+    from .operators.coloring import greedy_color as _gc
+
+    name_of = graph.name_of()
+    return {name_of[r["vid"]]: r["color"] for r in _gc(graph).collect()}
+
+
 def single_source_dijkstra_path_length(
     graph: LinkGraph,
     source,

@@ -132,6 +132,8 @@ ALGORITHMS = [
     "reciprocity",
     "overall_reciprocity",
     "harmonic_centrality",
+    "maximal_independent_set",
+    "greedy_color",
 ]
 
 
@@ -788,6 +790,21 @@ class BackendInterface:
         back = _back(G)
         return [
             back[v] for v in api.voterank(_lg(G), number_of_nodes=number_of_nodes)
+        ]
+
+    @staticmethod
+    def greedy_color(G, strategy="largest_first", interchange=False, **kw):
+        back = _back(G)
+        return {
+            back[v]: c for v, c in api.greedy_color(_lg(G), strategy=strategy).items()
+        }
+
+    @staticmethod
+    def maximal_independent_set(G, nodes=None, seed=None, **kw):
+        back = _back(G)
+        return [
+            back[v]
+            for v in api.maximal_independent_set(_lg(G), nodes=nodes, seed=seed)
         ]
 
     @staticmethod

@@ -1,0 +1,138 @@
+"""Deterministic random-walk corpus generation (DeepWalk/node2vec-style).
+
+Perozzi et al. KDD'14 (DeepWalk) and Grover & Leskovec KDD'16
+(node2vec, p=q=1 case): uniform random walks over the link graph are
+THE standard corpus for graph-embedding training — each walk is a
+"sentence" of vertex ids fed to a skip-gram model. This operator is
+the training-data-pipeline member of the graph family: it turns the
+edge table into an embedding corpus the same way the dedup/ANN
+operators prepare the text side.
+
+The reference has no walk surface (nx exposes ``generate_random_paths``
+over a scipy dense matrix); at web scale a replayable corpus matters
+more than "true" randomness, so the per-step choice is a pinned
+portable hash: from vertex v at step t of walk (start, rep), the next
+hop is the out-neighbor d minimizing
+``hash60(concat_ws(':', 'walk', start, rep, t, d))`` — uniform-ish
+over neighbors, independent across steps/walks, identical md5
+arithmetic in Spark and DuckDB, and (h, d) lexicographic so even a
+hash collision cannot make the walk nondeterministic. Walks stop at
+dangling vertices (no out-edges), like PageRank's dangling semantics
+minus the teleport.
+
+Plan (the scale story): walk state is ONE row per active walk
+(start, rep, cur). Per step: one key-partitioned hash join
+state⨝edges on cur=src fans out to candidate rows, then ONE
+map-side-combined min(struct(h, dst)) per walk key collapses them —
+a hub's fan-out is pre-aggregated map-side before the shuffle, so a
+10^8-degree vertex never concentrates rows on one reducer (the same
+combine property PageRank's contribution sum relies on). No windows,
+no driver state; per-step lineage cuts (CheckpointManager). Steps are
+the user-bounded walk length; total output is |starts|·reps·(len+1)
+rows, emitted as (start, rep, step, vid) — `F.collect_list` over a
+step-sorted group yields sentence arrays when a corpus file is the
+target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from ..graph import LinkGraph
+from ..plans.checkpoint import CheckpointManager
+
+
+def random_walks(
+    graph: LinkGraph,
+    length: int = 8,
+    starts: DataFrame | None = None,
+    walks_per_node: int = 1,
+    stats: dict | None = None,
+) -> DataFrame:
+    """DataFrame(start long, rep int, step int, vid long): the vertex
+    at each step of each walk. step 0 = the start vertex itself; a walk
+    that reaches a dangling vertex emits no further rows. ``starts``
+    (DataFrame with a ``vid`` column) defaults to every vertex;
+    ``walks_per_node`` replicates each start with rep = 0..reps-1
+    (each rep walks independently — the hash seed includes it)."""
+    spark = graph.spark
+    cp = CheckpointManager(spark, algorithm="walks")
+
+    if graph.directed:
+        edges = graph.edges.select("src", "dst").distinct()
+    else:
+        edges = graph.symmetric_edges().select("src", "dst")
+
+    if starts is None:
+        starts = graph.vertices.select("vid")
+    reps = spark.range(walks_per_node).select(F.col("id").cast("int").alias("rep"))
+    state = cp.truncate(
+        starts.select(F.col("vid").alias("start"))
+        .crossJoin(reps)
+        .select("start", "rep", F.col("start").alias("cur"))
+    )
+
+    out = state.select(
+        "start", "rep", F.lit(0).alias("step"), F.col("cur").alias("vid")
+    )
+    for t in range(length):
+        cand = state.join(edges, state.cur == edges.src).select(
+            "start",
+            "rep",
+            "dst",
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.lit("walk"),
+                    F.col("start"),
+                    F.col("rep"),
+                    F.lit(t),
+                    F.col("dst"),
+                )
+            ).alias("h"),
+        )
+        nxt = (
+            cand.groupBy("start", "rep")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("start", "rep", F.col("m.dst").alias("cur"))
+        )
+        state = cp.truncate(nxt)
+        out = cp.truncate(
+            out.unionByName(
+                state.select(
+                    "start",
+                    "rep",
+                    F.lit(t + 1).alias("step"),
+                    F.col("cur").alias("vid"),
+                )
+            )
+        )
+    if stats is not None:
+        stats["length"] = length
+        stats["walks_per_node"] = walks_per_node
+    return out.select(
+        "start", F.col("rep").cast("int").alias("rep"),
+        F.col("step").cast("int").alias("step"), "vid",
+    )
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """Collapse :func:`random_walks` rows into sentence arrays:
+    DataFrame(start long, rep int, sentence array<long>) with vertices
+    in step order — the skip-gram input shape. One partial-aggregable
+    collect over the walk key."""
+    return (
+        walks.groupBy("start", "rep")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("step", "vid"))
+            ).alias("s")
+        )
+        .select(
+            "start",
+            "rep",
+            F.transform(F.col("s"), lambda x: x["vid"]).alias("sentence"),
+        )
+    )

@@ -142,3 +142,32 @@ def test_betweenness_dispatch(spark):
     assert set(got) == set(want)
     for k in want:
         assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9)
+
+
+def test_mis_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.maximal_independent_set(g, backend="spark")
+    # deterministic engine: a valid MIS of THIS graph, not nx's sample
+    assert len(got) == len(set(got))
+    s = set(got)
+    assert all(not g.has_edge(u, v) for u in s for v in s if u != v)
+    assert all(v in s or any(n in s for n in g.neighbors(v)) for v in g)
+    # seeded form: the seed nodes must be contained in the result
+    seeded = set(nx.maximal_independent_set(g, nodes=["A"], backend="spark"))
+    assert "A" in seeded
+    assert all(
+        not g.has_edge(u, v) for u in seeded for v in seeded if u != v
+    )
+    with pytest.raises(ValueError):
+        nx.maximal_independent_set(g, nodes=["A", "B"], backend="spark")
+    with pytest.raises(ValueError):
+        nx.maximal_independent_set(g, nodes=["ZZ"], backend="spark")
+
+
+def test_greedy_color_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.greedy_color(g, backend="spark")
+    assert set(got) == set(g.nodes)
+    for u, v in g.edges:
+        assert got[u] != got[v]
+    assert max(got.values()) + 1 <= max(d for _, d in g.degree) + 1
