@@ -931,6 +931,22 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=WALK_LEN, starts=starts)
 
 
+MATCH_ROUNDS = 8  # local-dominant fixpoint is 3-5 rounds on the
+# circulant at 500/5k/50k vertices; extra rounds no-op on empty state
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Deterministic local-dominant maximal matching
+    (operators/matching.py) on the undirected circulant(1,2): an edge
+    wins when its md5-portable (h,u,v) key is the minimum at BOTH
+    endpoints; matched endpoints retire. Integer output (u, v, round),
+    bit-exact vs the unrolled DuckDB oracle."""
+    from nx_neptune_spark.operators.matching import maximal_matching
+
+    g = _circulant_graph(spark, sf_dir)
+    return maximal_matching(g, max_rounds=MATCH_ROUNDS)
+
+
 JP_ROUNDS = 16  # Jones-Plassmann fixpoint is 8-11 rounds on the
 # circulant at 500/5k/50k vertices (O(log n) growth); extra rounds
 # no-op on an empty active set in both engines
@@ -1703,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": q_maximal_independent_set,
         "random_walks": q_random_walks,
         "greedy_color": q_greedy_color,
+        "maximal_matching": q_maximal_matching,
         "rich_club": q_rich_club,
         "effective_size": q_effective_size,
         "structure_summary": q_structure_summary,
@@ -3005,6 +3022,54 @@ s{t + 1} AS MATERIALIZED (
     )
 
 
+def _maximal_matching_sql(k: int = None) -> str:
+    """Unrolled local-dominant matching oracle (operators/matching.py):
+    per round the per-vertex minimum incident (h,u,v) key via a
+    row_number window (= the operator's min(struct)), an edge wins when
+    it is the minimum at both endpoints, matched endpoints retire."""
+    k = k or MATCH_ROUNDS
+    parts = [
+        """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+fwd AS (
+  SELECT i AS src, (i + 1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n),
+act0 AS MATERIALIZED (
+  SELECT u, v,
+         ('0x' || substr(md5(concat_ws(':', 'match', u, v)), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM fwd WHERE src <> dst))"""
+    ]
+    for r in range(k):
+        parts.append(f"""
+vmin{r} AS MATERIALIZED (
+  SELECT vertex, h, u, v FROM (
+    SELECT vertex, h, u, v,
+           row_number() OVER (PARTITION BY vertex ORDER BY h, u, v) AS rn
+    FROM (
+      SELECT u AS vertex, h, u, v FROM act{r}
+      UNION ALL SELECT v, h, u, v FROM act{r})) WHERE rn = 1),
+win{r} AS MATERIALIZED (
+  SELECT a.u, a.v FROM act{r} a
+  JOIN vmin{r} mu ON mu.vertex = a.u AND mu.h = a.h
+                 AND mu.u = a.u AND mu.v = a.v
+  JOIN vmin{r} mv ON mv.vertex = a.v AND mv.h = a.h
+                 AND mv.u = a.u AND mv.v = a.v),
+act{r + 1} AS MATERIALIZED (
+  SELECT u, v, h FROM act{r}
+  WHERE u NOT IN (SELECT u FROM win{r} UNION SELECT v FROM win{r})
+    AND v NOT IN (SELECT u FROM win{r} UNION SELECT v FROM win{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT u, v, {r} AS round FROM win{r}" for r in range(k)
+    )
+    return (
+        ",".join(parts)
+        + f"\nSELECT u, v, CAST(round AS INT) AS round FROM ({union})"
+    )
+
+
 def _greedy_color_sql(k: int = None) -> str:
     """Unrolled Jones-Plassmann oracle (operators/coloring.py): per
     round local (p, vid)-maxima win; each winner's color is the mex of
@@ -3662,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_independent_set": _mis_sql(),
         "random_walks": _random_walks_sql(),
         "greedy_color": _greedy_color_sql(),
+        "maximal_matching": _maximal_matching_sql(),
         "rich_club": _rich_club_sql(),
         "effective_size": _effective_size_sql(),
         "structure_summary": _structure_summary_sql(),

@@ -1265,6 +1265,42 @@ def maximal_independent_set(graph: LinkGraph, nodes=None, seed=None, **ignored) 
     ]
 
 
+def maximal_matching(graph: LinkGraph, **ignored) -> set:
+    """nx.maximal_matching-shaped edge set. nx's first-seen sweep is
+    order-dependent; this is the deterministic local-dominant matching
+    (same contract: a maximal matching of the same graph)."""
+    from .operators.matching import maximal_matching as _mm
+
+    name_of = graph.name_of()
+    return {
+        (name_of[r["u"]], name_of[r["v"]]) for r in _mm(graph).collect()
+    }
+
+
+def min_weighted_vertex_cover(graph: LinkGraph, weight=None, **ignored) -> set:
+    """nx.approximation.min_weighted_vertex_cover contract (a cover at
+    most 2x optimal) via the matched-endpoints cover (Gavril). Only the
+    unweighted case — nx's local-ratio weighting needs a sequential
+    reduction this engine does not replay."""
+    if weight is not None:
+        raise NotImplementedError(
+            "weighted vertex cover is not implemented (unweighted 2-approx only)"
+        )
+    from .operators.matching import vertex_cover as _vc
+
+    name_of = graph.name_of()
+    return {name_of[r["vid"]] for r in _vc(graph).collect()}
+
+
+def dominating_set(graph: LinkGraph, start_with=None, **ignored) -> set:
+    """nx.dominating_set contract (any dominating set): a maximal
+    independent set dominates every vertex, so this returns the Luby
+    MIS — seeded with ``start_with`` when given, exactly nx's
+    start_with semantics."""
+    nodes = [start_with] if start_with is not None else None
+    return set(maximal_independent_set(graph, nodes=nodes))
+
+
 def greedy_color(graph: LinkGraph, strategy="largest_first", **ignored) -> dict:
     """nx.greedy_color-shaped {node: color}. The sequential visit
     order behind nx's strategies cannot be replayed distributively;

@@ -134,6 +134,9 @@ ALGORITHMS = [
     "harmonic_centrality",
     "maximal_independent_set",
     "greedy_color",
+    "maximal_matching",
+    "min_weighted_vertex_cover",
+    "dominating_set",
 ]
 
 
@@ -791,6 +794,26 @@ class BackendInterface:
         return [
             back[v] for v in api.voterank(_lg(G), number_of_nodes=number_of_nodes)
         ]
+
+    @staticmethod
+    def maximal_matching(G, **kw):
+        back = _back(G)
+        return {
+            (back[u], back[v]) for u, v in api.maximal_matching(_lg(G))
+        }
+
+    @staticmethod
+    def min_weighted_vertex_cover(G, weight=None, **kw):
+        back = _back(G)
+        return {
+            back[v] for v in api.min_weighted_vertex_cover(_lg(G), weight=weight)
+        }
+
+    @staticmethod
+    def dominating_set(G, start_with=None, **kw):
+        back = _back(G)
+        sw = None if start_with is None else str(start_with)
+        return {back[v] for v in api.dominating_set(_lg(G), start_with=sw)}
 
     @staticmethod
     def greedy_color(G, strategy="largest_first", interchange=False, **kw):

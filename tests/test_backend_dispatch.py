@@ -171,3 +171,25 @@ def test_greedy_color_dispatch(spark):
     for u, v in g.edges:
         assert got[u] != got[v]
     assert max(got.values()) + 1 <= max(d for _, d in g.degree) + 1
+
+
+def test_matching_cover_dominating_dispatch(spark):
+    g = two_triangles_bridge()
+    m = nx.maximal_matching(g, backend="spark")
+    used = set()
+    for u, v in m:
+        assert g.has_edge(u, v)
+        assert u not in used and v not in used
+        used |= {u, v}
+    for u, v in g.edges:
+        assert u in used or v in used
+    cover = nx.approximation.min_weighted_vertex_cover(g, backend="spark")
+    assert all(u in cover or v in cover for u, v in g.edges)
+    assert len(cover) == 2 * len(m)
+    with pytest.raises(NotImplementedError):
+        nx.approximation.min_weighted_vertex_cover(g, weight="w", backend="spark")
+    dom = nx.dominating_set(g, backend="spark")
+    assert all(v in dom or any(n in dom for n in g.neighbors(v)) for v in g)
+    dom_a = nx.dominating_set(g, start_with="A", backend="spark")
+    assert "A" in dom_a
+    assert all(v in dom_a or any(n in dom_a for n in g.neighbors(v)) for v in g)
