@@ -725,6 +725,18 @@ def wiener_index(graph: LinkGraph, weight=None) -> float:
     return _w(graph)
 
 
+def average_shortest_path_length(
+    graph: LinkGraph, weight=None, method=None, **ignored
+) -> float:
+    """nx.average_shortest_path_length (weight=None parity; `method`
+    selects among nx's shortest-path backends and is meaningless for
+    the BFS profile, so it follows the warn-and-ignore pattern)."""
+    _no_weighted_distance(weight)
+    from .operators.distance import average_shortest_path_length as _a
+
+    return _a(graph)
+
+
 def local_reaching_centrality(
     graph: LinkGraph, v, paths=None, weight=None, normalized=True
 ) -> float:

@@ -66,6 +66,7 @@ ALGORITHMS = [
     "periphery",
     "barycenter",
     "wiener_index",
+    "average_shortest_path_length",
     "local_reaching_centrality",
     "global_reaching_centrality",
     "cut_size",
@@ -580,6 +581,19 @@ class BackendInterface:
     @staticmethod
     def wiener_index(G, weight=None, **kw):
         return api.wiener_index(_lg(G), weight=weight)
+
+    @staticmethod
+    def average_shortest_path_length(G, weight=None, method=None, **kw):
+        import networkx as nx
+
+        try:
+            return api.average_shortest_path_length(
+                _lg(G), weight=weight, method=method
+            )
+        except ValueError as err:
+            if "null graph" in str(err):
+                raise nx.NetworkXPointlessConcept(str(err)) from err
+            raise nx.NetworkXError(str(err)) from err
 
     @staticmethod
     def local_reaching_centrality(

@@ -188,6 +188,32 @@ def barycenter(graph: LinkGraph) -> DataFrame:
     return out
 
 
+def average_shortest_path_length(graph: LinkGraph) -> float:
+    """``nx.average_shortest_path_length`` parity (weight=None): mean
+    hop distance over ordered reachable pairs, with nx's exact error
+    surface — null graph raises, single vertex returns 0, disconnected
+    (or not strongly connected) input raises with nx's message. Rides
+    the same all-sources BFS profile as the other distance measures
+    (O(V·E) exact mode with the same loud warning past the guard)."""
+    n = graph.num_vertices()
+    if n == 0:
+        raise ValueError(
+            "the null graph has no paths, thus there is no average shortest path length"
+        )
+    if n == 1:
+        return 0.0
+    profile = distance_profile(graph).persist()
+    try:
+        if not profile.where(F.col("reached") < n).isEmpty():
+            if graph.directed:
+                raise ValueError("Graph is not strongly connected.")
+            raise ValueError("Graph is not connected.")
+        row = profile.agg(F.sum("total_dist").alias("s")).first()
+        return float(row["s"]) / (n * (n - 1))
+    finally:
+        profile.unpersist(blocking=False)
+
+
 def _lrc_frame(graph: LinkGraph, sources: list[int] | None = None) -> DataFrame:
     """DataFrame(vid, lrc double): nx's unweighted local reaching
     centrality. Directed: (reached−1)/(n−1) (fraction reachable).

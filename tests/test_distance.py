@@ -147,3 +147,33 @@ def test_reaching_undirected_and_dispatch(spark):
     h.add_nodes_from([1, 2])
     with pytest.raises(nx.NetworkXError):
         nx.global_reaching_centrality(h, backend="spark")
+
+
+def test_average_shortest_path_length(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = two_triangles_bridge()
+    got = nx.average_shortest_path_length(g, backend="spark")
+    want = nx.average_shortest_path_length(g)
+    assert math.isclose(got, want, abs_tol=1e-12)
+    # directed strongly connected: 4-cycle
+    d = nx.DiGraph([(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert math.isclose(
+        nx.average_shortest_path_length(d, backend="spark"),
+        nx.average_shortest_path_length(d),
+        abs_tol=1e-12,
+    )
+    # error surface
+    with pytest.raises(nx.NetworkXPointlessConcept):
+        nx.average_shortest_path_length(nx.Graph(), backend="spark")
+    assert nx.average_shortest_path_length(
+        nx.Graph([("A", "A")]), backend="spark"
+    ) == 0.0
+    h = nx.Graph()
+    h.add_nodes_from([1, 2])
+    with pytest.raises(nx.NetworkXError):
+        nx.average_shortest_path_length(h, backend="spark")
+    d2 = nx.DiGraph([(0, 1)])
+    with pytest.raises(nx.NetworkXError):
+        nx.average_shortest_path_length(d2, backend="spark")
