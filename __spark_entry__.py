@@ -1651,6 +1651,21 @@ def q_betweenness(spark, sf_dir):
     return res.select("vid", F.round("betweenness", 8).alias("betweenness"))
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes EDGE betweenness from sources (0, 7, 23)
+    on the directed pr-graph (operators/betweenness.py), unnormalized —
+    nx 3.6's unified _rescale (endpoints=True) makes that a n/κ
+    multiply both engines apply identically. Every edge gets a row
+    (zeros kept)."""
+    from nx_neptune_spark.operators.betweenness import edge_betweenness_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    res = edge_betweenness_centrality(
+        g, sources=list(BETW_SOURCES), normalized=False
+    )
+    return res.select("src", "dst", F.round("betweenness", 8).alias("betweenness"))
+
+
 def q_pages_pagerank(spark, sf_dir):
     """Flagship north-rule pipeline: synthetic Common-Crawl-style pages
     -> pandas-UDF link extraction -> dense ids -> PageRank -> scores
@@ -1695,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
+        "edge_betweenness": q_edge_betweenness,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -2049,6 +2065,69 @@ acc AS ({acc}),
 bc AS (SELECT v AS vid, sum(delta) AS b FROM acc GROUP BY v)
 SELECT i AS vid, round(coalesce(b, 0.0), 8) AS betweenness
 FROM ids LEFT JOIN bc ON bc.vid = i"""
+    )
+    return "".join(parts)
+
+
+def _edge_betweenness_sql(depth: int = None) -> str:
+    """Unrolled Brandes EDGE oracle (operators/betweenness.py
+    edge_betweenness_centrality): same forward/backward level CTEs as
+    _betweenness_sql, plus per-level edge partials
+    ed(v,w) = Σ_s sigma_v/sigma_w · (1+delta_w) summed over DAG edges;
+    directed + unnormalized under nx 3.6's unified _rescale
+    (endpoints=True) scales by n/κ."""
+    k_n = depth if depth is not None else BETW_ORACLE_DEPTH
+    srcs = ", ".join(f"({s})" for s in BETW_SOURCES)
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        f""",
+src AS (SELECT * FROM (VALUES {srcs}) AS t(s)),
+f0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM src),
+fa0 AS (SELECT s, v FROM f0)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f{k - 1} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM fa{k - 1} a WHERE a.s = f.s AND a.v = e.dst)
+  GROUP BY f.s, e.dst),
+fa{k} AS MATERIALIZED (SELECT s, v FROM fa{k - 1} UNION ALL SELECT s, v FROM f{k})"""
+        )
+    parts.append(
+        f""",
+d{k_n} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM f{k_n} WHERE 1 = 0)"""
+    )
+    for lvl in range(k_n - 1, -1, -1):
+        parts.append(
+            f""",
+d{lvl} AS MATERIALIZED (
+  SELECT c.s, c.v, sum(c.sigma / u.sigma * (1.0 + coalesce(du.delta, 0.0))) AS delta
+  FROM f{lvl} c JOIN edges e ON e.src = c.v
+  JOIN f{lvl + 1} u ON u.s = c.s AND u.v = e.dst
+  LEFT JOIN d{lvl + 1} du ON du.s = c.s AND du.v = u.v
+  GROUP BY c.s, c.v),
+ed{lvl} AS MATERIALIZED (
+  SELECT c.v AS esrc, e.dst AS edst,
+         sum(c.sigma / u.sigma * (1.0 + coalesce(du.delta, 0.0))) AS t
+  FROM f{lvl} c JOIN edges e ON e.src = c.v
+  JOIN f{lvl + 1} u ON u.s = c.s AND u.v = e.dst
+  LEFT JOIN d{lvl + 1} du ON du.s = c.s AND du.v = u.v
+  GROUP BY c.v, e.dst)"""
+        )
+    eacc = "\nUNION ALL ".join(
+        f"SELECT esrc, edst, t FROM ed{lvl}" for lvl in range(k_n)
+    )
+    n_piv = len(BETW_SOURCES)
+    parts.append(
+        f""",
+eacc AS ({eacc}),
+eb AS (SELECT esrc, edst, sum(t) AS t FROM eacc GROUP BY esrc, edst)
+SELECT e.src, e.dst,
+       round(coalesce(eb.t, 0.0) * ((SELECT c FROM n) / CAST({n_piv} AS DOUBLE)), 8)
+       AS betweenness
+FROM edges e LEFT JOIN eb ON eb.esrc = e.src AND eb.edst = e.dst"""
     )
     return "".join(parts)
 
@@ -3679,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "betweenness": _betweenness_sql(),
+        "edge_betweenness": _edge_betweenness_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

@@ -1568,3 +1568,37 @@ def betweenness_centrality(
         endpoints=endpoints,
     ).collect()
     return {name_of[r["vid"]]: r["betweenness"] for r in rows}
+
+
+def edge_betweenness_centrality(
+    graph: LinkGraph,
+    k: int | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+    seed=None,
+    sources: list | None = None,
+    **ignored,
+) -> dict:
+    """NetworkX-shaped edge betweenness (nx.edge_betweenness_centrality
+    signature): {(u, v): score} over every edge. ``seed`` is
+    warn-and-ignored; ``k`` samples the k lowest-id pivots
+    deterministically; ``sources`` overrides with explicit names."""
+    from .operators.betweenness import edge_betweenness_centrality as _ebc
+
+    if seed is not None:
+        _warn_unsupported("edge_betweenness_centrality", seed=seed)
+    name_of = graph.name_of()
+    vid_of = {v: kk for kk, v in name_of.items()}
+    src_vids: list[int] | None
+    if sources is not None:
+        src_vids = [vid_of[str(s)] for s in sources]
+    elif k is not None:
+        src_vids = sorted(name_of)[: int(k)]
+    else:
+        src_vids = None
+    rows = _ebc(
+        graph, sources=src_vids, normalized=normalized, weight=weight
+    ).collect()
+    return {
+        (name_of[r["src"]], name_of[r["dst"]]): r["betweenness"] for r in rows
+    }

@@ -114,6 +114,7 @@ ALGORITHMS = [
     "hits",
     # round-4 link-graph extensions
     "betweenness_centrality",
+    "edge_betweenness_centrality",
     "eigenvector_centrality",
     "core_number",
     "k_core",
@@ -994,6 +995,22 @@ class BackendInterface:
             **kw,
         )
         return {back[k2]: v for k2, v in res.items()}
+
+    @staticmethod
+    def edge_betweenness_centrality(
+        G, k=None, normalized=True, weight=None, seed=None, **kw
+    ):
+        back = _back(G)
+        res = api.edge_betweenness_centrality(
+            _lg(G), k=k, normalized=normalized, weight=weight, seed=seed, **kw
+        )
+        if G.is_directed():
+            return {(back[u], back[v]): b for (u, v), b in res.items()}
+        # undirected: key by the orientation G.edges itself reports
+        key_of = {frozenset((u, v)): (u, v) for u, v in G.edges}
+        return {
+            key_of[frozenset((back[u], back[v]))]: b for (u, v), b in res.items()
+        }
 
     @staticmethod
     def eigenvector_centrality(G, max_iter=100, tol=1e-06, nstart=None, weight=None, **kw):

@@ -47,6 +47,59 @@ from ..plans.checkpoint import release_local_checkpoint
 from .bfs import _traversal_edges
 
 
+def _forward_levels(
+    edges: DataFrame,
+    pivots: DataFrame,
+    n_pivots: int,
+    max_depth: int | None,
+) -> tuple[list[DataFrame], list[int], int]:
+    """Batched Brandes forward sweep: per-level (s, vid, sigma) frames.
+
+    Memory accounting: every reached (s, v) pair lives in EXACTLY one
+    level, so the retained forward state is Σ level sizes = |visited|
+    ≈ pivots × reached-vertices rows — held twice (levels + the
+    visited anti-join table) until visited is released right before
+    returning, then shrinking as the backward sweep frees each
+    consumed level's checkpoint blocks."""
+    levels: list[DataFrame] = []
+    level_rows: list[int] = []
+    frontier = pivots.select(
+        "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    levels.append(frontier)
+    level_rows.append(n_pivots)
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        nxt = (
+            edges.join(frontier, edges.src == frontier.vid)
+            .groupBy("s", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "vid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_rows = nxt.count()
+        if n_rows == 0:
+            release_local_checkpoint(nxt)
+            break
+        depth += 1
+        levels.append(nxt)
+        level_rows.append(n_rows)
+        new_visited = visited.unionByName(nxt.select("s", "vid")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_visited.count()
+        visited.unpersist()
+        visited = new_visited
+        frontier = nxt
+    # the anti-join table is forward-only state: release it before the
+    # backward sweep instead of after (halves the sweep's retained rows)
+    visited.unpersist()
+    return levels, level_rows, depth
+
+
 def betweenness_centrality(
     graph: LinkGraph,
     sources: list[int] | None = None,
@@ -98,49 +151,7 @@ def betweenness_centrality(
                 stacklevel=2,
             )
 
-    # ---- forward: per-level (s, vid, sigma), batched over all pivots.
-    # Memory accounting: every reached (s, v) pair lives in EXACTLY one
-    # level, so the retained forward state is Σ level sizes = |visited|
-    # ≈ pivots × reached-vertices rows — held twice (levels + the
-    # visited anti-join table) until visited is released right after
-    # this loop, then shrinking as the backward sweep frees each
-    # consumed level's checkpoint blocks.
-    levels: list[DataFrame] = []
-    level_rows: list[int] = []
-    frontier = pivots.select(
-        "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
-    visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
-    levels.append(frontier)
-    level_rows.append(n_pivots)
-    depth = 0
-    while True:
-        if max_depth is not None and depth >= max_depth:
-            break
-        nxt = (
-            edges.join(frontier, edges.src == frontier.vid)
-            .groupBy("s", F.col("dst").alias("vid"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["s", "vid"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        n_rows = nxt.count()
-        if n_rows == 0:
-            release_local_checkpoint(nxt)
-            break
-        depth += 1
-        levels.append(nxt)
-        level_rows.append(n_rows)
-        new_visited = visited.unionByName(nxt.select("s", "vid")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        new_visited.count()
-        visited.unpersist()
-        visited = new_visited
-        frontier = nxt
-    # the anti-join table is forward-only state: release it before the
-    # backward sweep instead of after (halves the sweep's retained rows)
-    visited.unpersist()
+    levels, level_rows, depth = _forward_levels(edges, pivots, n_pivots, max_depth)
 
     # ---- backward: dependency accumulation, deepest level first
     bc_parts: list[DataFrame] = []
@@ -228,4 +239,161 @@ def betweenness_centrality(
             peak_level_rows=max(level_rows),
             state_rows=sum(level_rows),
         )
+    return out
+
+
+def edge_betweenness_centrality(
+    graph: LinkGraph,
+    sources: list[int] | None = None,
+    normalized: bool = True,
+    weight: str | None = None,
+    max_depth: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """``nx.edge_betweenness_centrality`` semantics: per-edge Brandes
+    dependency sums — every edge of the graph gets a row (zeros kept),
+    undirected edges canonicalized (src < dst) with both DAG
+    orientations summed into the one key, exactly nx's edge-dict
+    accumulation. Rescaling follows nx 3.6's unified ``_rescale`` with
+    ``endpoints=True`` (the edge case): normalized → 1/(κ·(n−1));
+    unnormalized → n/(κ·c), c = 2 undirected else 1 (κ = pivot count,
+    = n when exact). ``sources`` is the deterministic-pivot analog of
+    nx's ``k`` sampling; ``weight`` is warn-and-ignored (unweighted).
+
+    Plan: the same batched forward sweep as the vertex operator
+    (shared `_forward_levels`); each backward level eagerly
+    materializes the DAG-join frame ONCE and derives BOTH aggregates
+    from it — the per-(s,v) delta that drives the recursion and the
+    per-(src,dst) edge partial — then frees the frame and the consumed
+    level. Edge partials are edge-cardinality bounded.
+    """
+    if weight is not None:
+        warnings.warn(
+            "Parameter `weight` is not supported by "
+            "edge_betweenness_centrality and will be ignored "
+            "(unweighted shortest paths).",
+            stacklevel=2,
+        )
+    spark = graph.spark
+    n = graph.num_vertices()
+    edges = _traversal_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if sources is not None:
+        pivots = spark.createDataFrame(
+            [(int(s),) for s in sources], "s long"
+        ).distinct()
+        n_pivots = len(set(int(s) for s in sources))
+    else:
+        pivots = graph.vertices.select(F.col("vid").alias("s"))
+        n_pivots = n
+        if n > 200_000:
+            warnings.warn(
+                f"exact edge betweenness on {n:,} vertices is O(V*E); "
+                "pass sources=[...] to sample pivots",
+                stacklevel=2,
+            )
+
+    levels, level_rows, depth = _forward_levels(edges, pivots, n_pivots, max_depth)
+
+    eparts: list[DataFrame] = []
+    delta: DataFrame | None = None
+    for lvl in range(depth - 1, -1, -1):
+        upper = levels[lvl + 1].select(
+            F.col("s").alias("us"),
+            F.col("vid").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        if delta is not None:
+            upper = upper.join(
+                delta.select(
+                    F.col("s").alias("us"),
+                    F.col("vid").alias("w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["us", "w"],
+                "left",
+            ).select(
+                "us", "w", "sigma_w",
+                F.coalesce("delta_w", F.lit(0.0)).alias("delta_w"),
+            )
+        else:
+            upper = upper.select("us", "w", "sigma_w", F.lit(0.0).alias("delta_w"))
+        cur = levels[lvl]
+        joined = (
+            cur.join(edges, cur.vid == edges.src)
+            .join(
+                upper,
+                (F.col("us") == cur.s) & (F.col("w") == edges.dst),
+            )
+            .select(
+                cur.s.alias("s"),
+                cur.vid.alias("v"),
+                F.col("w"),
+                (
+                    F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("term"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            joined.groupBy("s", "v")
+            .agg(F.sum("term").alias("delta"))
+            .select(F.col("s"), F.col("v").alias("vid"), F.col("delta"))
+            .localCheckpoint(eager=True)
+        )
+        epart = (
+            joined.groupBy(F.col("v").alias("src"), F.col("w").alias("dst"))
+            .agg(F.sum("term").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        eparts.append(epart)
+        release_local_checkpoint(joined)
+        release_local_checkpoint(levels[lvl + 1])
+        levels[lvl + 1] = None
+    for rest in levels:
+        if rest is not None:
+            release_local_checkpoint(rest)
+    edges.unpersist()
+
+    if eparts:
+        acc = eparts[0]
+        for p in eparts[1:]:
+            acc = acc.unionByName(p)
+    else:
+        acc = spark.createDataFrame([], "src long, dst long, t double")
+    if not graph.directed:
+        acc = acc.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "t",
+        )
+        base = graph.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
+    else:
+        base = graph.edges.select("src", "dst").distinct()
+    raw = acc.groupBy("src", "dst").agg(F.sum("t").alias("t"))
+
+    # nx 3.6 _rescale with endpoints=True (the edge form)
+    scale: float | None = None
+    if n >= 2:
+        if normalized:
+            scale = 1.0 / (n_pivots * (n - 1))
+        else:
+            correction = 1 if graph.directed else 2
+            scale = n / (n_pivots * correction)
+
+    out = base.join(raw, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        (
+            F.coalesce("t", F.lit(0.0))
+            * F.lit(scale if scale is not None else 1.0)
+        ).alias("betweenness"),
+    )
+    if stats is not None:
+        stats.update(levels=depth, pivots=n_pivots,
+                     peak_level_rows=max(level_rows),
+                     state_rows=sum(level_rows))
     return out

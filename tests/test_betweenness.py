@@ -9,7 +9,7 @@ import math
 import networkx as nx
 import pytest
 
-from fixtures_graphs import airport_cycle, gnp_digraph, two_triangles_bridge
+from fixtures_graphs import airport_cycle, chain_digraph, gnp_digraph, two_triangles_bridge
 from nx_neptune_spark.graph import LinkGraph
 from nx_neptune_spark.operators.betweenness import betweenness_centrality
 
@@ -97,3 +97,75 @@ def test_betweenness_warns_unsupported(spark):
         betweenness_centrality(lg, weight="weight")
     with pytest.warns(UserWarning, match="endpoints"):
         betweenness_centrality(lg, endpoints=True)
+
+
+def spark_edge_bc(spark, g, **kw):
+    from nx_neptune_spark.operators.betweenness import edge_betweenness_centrality
+
+    lg = LinkGraph.from_networkx(spark, g)
+    name_of = lg.name_of()
+    rows = edge_betweenness_centrality(lg, **kw).collect()
+    if g.is_directed():
+        return {(name_of[r["src"]], name_of[r["dst"]]): r["betweenness"] for r in rows}
+    return {
+        frozenset((name_of[r["src"]], name_of[r["dst"]])): r["betweenness"]
+        for r in rows
+    }
+
+
+def nx_edge_bc(g, **kw):
+    got = nx.edge_betweenness_centrality(g, **kw)
+    if g.is_directed():
+        return {(u, v): b for (u, v), b in got.items()}
+    return {frozenset((u, v)): b for (u, v), b in got.items()}
+
+
+def assert_close_dicts(got, want):
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9), (
+            k, got[k], want[k],
+        )
+
+
+def test_edge_bc_undirected_normalized(spark):
+    g = two_triangles_bridge()
+    assert_close_dicts(spark_edge_bc(spark, g), nx_edge_bc(g))
+
+
+def test_edge_bc_undirected_unnormalized(spark):
+    g = two_triangles_bridge()
+    assert_close_dicts(
+        spark_edge_bc(spark, g, normalized=False), nx_edge_bc(g, normalized=False)
+    )
+
+
+def test_edge_bc_directed_both_norms(spark):
+    g = nx.relabel_nodes(gnp_digraph(), lambda i: f"{i:04d}", copy=True)
+    assert_close_dicts(spark_edge_bc(spark, g), nx_edge_bc(g))
+    assert_close_dicts(
+        spark_edge_bc(spark, g, normalized=False), nx_edge_bc(g, normalized=False)
+    )
+
+
+def test_edge_bc_chain_fixture(spark):
+    g = chain_digraph()
+    assert_close_dicts(spark_edge_bc(spark, g), nx_edge_bc(g))
+
+
+def test_edge_bc_dispatch(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = two_triangles_bridge()
+    got = nx.edge_betweenness_centrality(g, backend="spark")
+    want = nx.edge_betweenness_centrality(g)
+    assert set(got) == set(want)
+    for e in want:
+        assert math.isclose(got[e], want[e], abs_tol=1e-9)
+    d = chain_digraph()
+    got = nx.edge_betweenness_centrality(d, normalized=False, backend="spark")
+    want = nx.edge_betweenness_centrality(d, normalized=False)
+    assert set(got) == set(want)
+    for e in want:
+        assert math.isclose(got[e], want[e], abs_tol=1e-9)
