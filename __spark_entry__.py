@@ -931,6 +931,40 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=WALK_LEN, starts=starts)
 
 
+def _dirclust_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed triangle fixture: ring i->(i+1)%n everywhere, chord
+    i->(i+2)%n at even i (so {i,i+1,i+2} is a triangle at even i),
+    reciprocated back-edges (i+1)%n->i at i%3==0 and (i+2)%n->i at
+    i%4==0 — the b-multiplicities 1/2 vary per triangle edge, so the
+    Fagiolo numerator exercises every product branch."""
+    ids, n = _ids_n(spark, sf_dir)
+    e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    e2 = ids.where(F.col("i") % 2 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst")
+    )
+    r1 = ids.where(F.col("i") % 3 == 0).select(
+        ((F.col("i") + 1) % n).alias("src"), F.col("i").alias("dst")
+    )
+    r2 = ids.where(F.col("i") % 4 == 0).select(
+        ((F.col("i") + 2) % n).alias("src"), F.col("i").alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(r1).unionByName(r2).where(
+        F.col("src") != F.col("dst")
+    )
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+
+
+def q_directed_clustering(spark, sf_dir):
+    """Fagiolo directed clustering (operators/clustering.py
+    directed_clustering, nx.clustering DiGraph parity) on the
+    reciprocated-ring fixture: integer W and degree inputs, ONE IEEE
+    division per vertex — bit-exact in both engines."""
+    from nx_neptune_spark.operators.clustering import directed_clustering
+
+    g = _dirclust_graph(spark, sf_dir)
+    return directed_clustering(g)
+
+
 MATCH_ROUNDS = 8  # local-dominant fixpoint is 3-5 rounds on the
 # circulant at 500/5k/50k vertices; extra rounds no-op on empty state
 
@@ -1719,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "triangle_count": q_triangle_count,
         "clustering": q_clustering,
+        "directed_clustering": q_directed_clustering,
         "reciprocity": q_reciprocity,
         "harmonic_centrality": q_harmonic,
         "harmonic_nbunch": q_harmonic_nbunch,
@@ -3101,6 +3136,47 @@ s{t + 1} AS MATERIALIZED (
     )
 
 
+def _directed_clustering_sql() -> str:
+    """Fagiolo oracle: b-pair table (canonical a<b with multiplicity),
+    triangles by triple pair-join (x<y<z), per-corner weighted sums,
+    endpoint-explode degrees, one integer division per vertex."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i + 1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i + 2) % c FROM ids, n WHERE i % 2 = 0
+  UNION ALL SELECT (i + 1) % c, i FROM ids, n WHERE i % 3 = 0
+  UNION ALL SELECT (i + 2) % c, i FROM ids, n WHERE i % 4 = 0),
+ded AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+pairs AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS bw
+  FROM ded GROUP BY least(src, dst), greatest(src, dst)),
+tri AS MATERIALIZED (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z,
+         p1.bw * p3.bw * p2.bw AS p
+  FROM pairs p1
+  JOIN pairs p2 ON p2.a = p1.b
+  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+corners AS (
+  SELECT x AS vid, p FROM tri
+  UNION ALL SELECT y, p FROM tri
+  UNION ALL SELECT z, p FROM tri),
+w AS (SELECT vid, sum(p) AS w FROM corners GROUP BY vid),
+degs AS (
+  SELECT vid, sum(bw) AS dt,
+         sum(CASE WHEN bw = 2 THEN 1 ELSE 0 END) AS db
+  FROM (SELECT a AS vid, bw FROM pairs UNION ALL SELECT b, bw FROM pairs)
+  GROUP BY vid)
+SELECT i AS vid,
+       CASE WHEN coalesce(w.w, 0) > 0
+            THEN CAST(w.w AS DOUBLE) /
+                 (CAST(d.dt AS DOUBLE) * (d.dt - 1) - 2.0 * d.db)
+            ELSE 0.0 END AS clustering
+FROM ids LEFT JOIN w ON w.vid = i LEFT JOIN degs d ON d.vid = i
+"""
+
+
 def _maximal_matching_sql(k: int = None) -> str:
     """Unrolled local-dominant matching oracle (operators/matching.py):
     per round the per-vertex minimum incident (h,u,v) key via a
@@ -3791,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": _closeness_sql(),
         "closeness_sources": _closeness_sql(" WHERE i IN (0, 7, 23)"),
         "clustering": _clustering_sql(),
+        "directed_clustering": _directed_clustering_sql(),
         "reciprocity": _reciprocity_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "harmonic_nbunch": _harmonic_sql(" WHERE i IN (0, 7, 23)", source_max=60),

@@ -526,10 +526,12 @@ def clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
     `weight` warn-and-ignored (reference unsupported-param pattern,
     algorithm_utils.py:26-38 — the operator is unweighted)."""
     from .operators.clustering import clustering as _cl
+    from .operators.clustering import directed_clustering as _dcl
 
     _warn_unsupported("clustering", weight=weight)
     name_of = graph.name_of()
-    res = {name_of[r["vid"]]: r["clustering"] for r in _cl(graph).collect()}
+    op = _dcl if graph.directed else _cl
+    res = {name_of[r["vid"]]: r["clustering"] for r in op(graph).collect()}
     if nodes is None:
         return res
     if isinstance(nodes, (str, int)) or not isinstance(nodes, Iterable):
@@ -559,8 +561,16 @@ def transitivity(graph: LinkGraph, **ignored) -> float:
 def average_clustering(graph: LinkGraph, nodes=None, weight: str | None = None,
                        count_zeros: bool = True, **ignored) -> float:
     from .operators.clustering import average_clustering as _ac
+    from .operators.clustering import directed_clustering as _dcl
+    from pyspark.sql import functions as F
 
     _warn_unsupported("average_clustering", weight=weight, nodes=nodes)
+    if graph.directed:
+        c = _dcl(graph)
+        if not count_zeros:
+            c = c.where(F.col("clustering") > 0)
+        row = c.agg(F.avg("clustering").alias("m")).first()
+        return float(row["m"]) if row["m"] is not None else 0.0
     return _ac(graph, count_zeros=count_zeros)
 
 

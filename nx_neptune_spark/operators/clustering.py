@@ -122,3 +122,86 @@ def average_clustering(graph: LinkGraph, count_zeros: bool = True) -> float:
         c = c.where(F.col("clustering") > 0)
     row = c.agg(F.avg("clustering").alias("m")).first()
     return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def directed_clustering(graph: LinkGraph) -> DataFrame:
+    """``nx.clustering`` on a DiGraph (Fagiolo 2007, "Clustering in
+    complex directed networks", Phys. Rev. E 76): with
+    b(u,v) = [u→v] + [v→u] ∈ {1,2},
+
+        W(i) = Σ_{triangles {i,j,k}} b_ij · b_ik · b_jk
+        c(i) = W(i) / (d_tot(i)·(d_tot(i)−1) − 2·d_bi(i)),  0 when W=0
+
+    which equals nx's ``_directed_triangles_and_degree_iter`` value
+    t/2 over denominator (t counts each triangle's two (j,k)
+    orderings). Self-loops excluded throughout, exactly nx.
+
+    Plan: the b-table is ONE (least,greatest) pair aggregate of the
+    deduplicated edge set; triangles reuse the degree-oriented
+    enumeration (the orientation IS the skew bound); three
+    key-partitioned joins attach the b's, one corner explode + one
+    partial agg gives W; degrees are one endpoint-explode aggregate."""
+    pairs = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.count("*").alias("bw"))
+    )
+    from .triangles import triangle_list
+
+    tris = triangle_list(graph)  # canonical x < y < z over the projection
+    wtri = (
+        tris.join(
+            pairs.select(
+                F.col("a").alias("x"), F.col("b").alias("y"), F.col("bw").alias("bxy")
+            ),
+            ["x", "y"],
+        )
+        .join(
+            pairs.select(
+                F.col("a").alias("x"), F.col("b").alias("z"), F.col("bw").alias("bxz")
+            ),
+            ["x", "z"],
+        )
+        .join(
+            pairs.select(
+                F.col("a").alias("y"), F.col("b").alias("z"), F.col("bw").alias("byz")
+            ),
+            ["y", "z"],
+        )
+        .select(
+            "x", "y", "z", (F.col("bxy") * F.col("bxz") * F.col("byz")).alias("p")
+        )
+    )
+    corners = (
+        wtri.select(F.col("x").alias("vid"), "p")
+        .unionAll(wtri.select(F.col("y").alias("vid"), "p"))
+        .unionAll(wtri.select(F.col("z").alias("vid"), "p"))
+    )
+    w = corners.groupBy("vid").agg(F.sum("p").alias("w"))
+    degs = (
+        pairs.select(F.col("a").alias("vid"), "bw")
+        .unionAll(pairs.select(F.col("b").alias("vid"), "bw"))
+        .groupBy("vid")
+        .agg(
+            F.sum("bw").alias("dt"),
+            F.sum(F.when(F.col("bw") == 2, 1).otherwise(0)).alias("db"),
+        )
+    )
+    joined = (
+        graph.vertices.select("vid")
+        .join(w, "vid", "left")
+        .join(degs, "vid", "left")
+    )
+    ww = F.coalesce(F.col("w"), F.lit(0)).cast("double")
+    dt = F.coalesce(F.col("dt"), F.lit(0)).cast("double")
+    db = F.coalesce(F.col("db"), F.lit(0)).cast("double")
+    return joined.select(
+        "vid",
+        F.when(ww > 0, ww / (dt * (dt - 1) - 2.0 * db))
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -199,3 +199,28 @@ def test_round5_backend_dispatch(spark):
     wanth = nx.harmonic_centrality(dg)
     for n in wanth:
         assert math.isclose(goth[n], wanth[n], abs_tol=1e-9)
+
+
+def test_directed_clustering_nx_parity(spark):
+    import nx_neptune_spark
+
+    nx_neptune_spark.register_nx_backend()
+    g = nx.relabel_nodes(gnp_digraph(), lambda i: f"{i:04d}", copy=True)
+    got = nx.clustering(g, backend="spark")
+    want = nx.clustering(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-12), (
+            k, got[k], want[k],
+        )
+    assert math.isclose(
+        nx.average_clustering(g, backend="spark"),
+        nx.average_clustering(g),
+        abs_tol=1e-12,
+    )
+    # bidirectional-edge case: reciprocated triangle
+    d = nx.DiGraph([("A", "B"), ("B", "A"), ("B", "C"), ("C", "A"), ("A", "C")])
+    got = nx.clustering(d, backend="spark")
+    want = nx.clustering(d)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-12), (k, got[k], want[k])
