@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager
+from ..plans.checkpoint import CheckpointManager, release_local_checkpoint
 
 
 def greedy_color(
@@ -117,13 +117,23 @@ def greedy_color(
                 )
             )
         new = cp.truncate(new)
-        colored = new if colored is None else cp.truncate(colored.unionByName(new))
+        if colored is None:
+            colored = new
+        else:
+            old_colored = colored
+            colored = cp.truncate(colored.unionByName(new))
+            release_local_checkpoint(old_colored)
+        old_act, old_aedges = act, aedges
         act = cp.truncate(act.join(new.select("vid"), "vid", "left_anti"))
         aedges = cp.truncate(
             aedges.join(new.select(F.col("vid").alias("src")), "src", "left_anti")
             .join(new.select(F.col("vid").alias("dst")), "dst", "left_anti")
             .select("src", "dst", "p_src", "p_dst")
         )
+        # prior round's state lives on only as copies inside the new
+        # eager checkpoints — free its blocks now, not at shutdown
+        release_local_checkpoint(old_act)
+        release_local_checkpoint(old_aedges)
     sym.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

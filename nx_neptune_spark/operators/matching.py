@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager
+from ..plans.checkpoint import CheckpointManager, release_local_checkpoint
 
 
 def maximal_matching(
@@ -89,17 +89,26 @@ def maximal_matching(
             .select("u", "v", F.lit(r).alias("round"))
         )
         win = cp.truncate(win)
-        matched = win if matched is None else cp.truncate(matched.unionByName(win))
+        if matched is None:
+            matched = win
+        else:
+            old_matched = matched
+            matched = cp.truncate(matched.unionByName(win))
+            release_local_checkpoint(old_matched)
         gone = (
             win.select(F.col("u").alias("vid"))
             .unionByName(win.select(F.col("v").alias("vid")))
             .distinct()
         )
+        old_act = act
         act = cp.truncate(
             act.join(gone.withColumnRenamed("vid", "u"), "u", "left_anti")
             .join(gone.withColumnRenamed("vid", "v"), "v", "left_anti")
             .select("u", "v", "h")
         )
+        # prior round's edge state was copied into the new checkpoint —
+        # free its blocks now, not at shutdown
+        release_local_checkpoint(old_act)
     if stats is not None:
         stats["rounds"] = rounds
     if matched is None:

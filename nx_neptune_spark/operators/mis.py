@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager
+from ..plans.checkpoint import CheckpointManager, release_local_checkpoint
 
 
 def maximal_independent_set(
@@ -101,7 +101,12 @@ def maximal_independent_set(
                 "vid", F.lit(r).alias("round")
             )
         )
-        mis = winners if mis is None else cp.truncate(mis.unionByName(winners))
+        if mis is None:
+            mis = winners
+        else:
+            old_mis = mis
+            mis = cp.truncate(mis.unionByName(winners))
+            release_local_checkpoint(old_mis)
         # retire winners and their neighbors from both states
         wvid = winners.select("vid")
         nbrs = (
@@ -110,12 +115,17 @@ def maximal_independent_set(
             .distinct()
         )
         gone = wvid.unionByName(nbrs).distinct()
+        old_act, old_aedges = act, aedges
         act = cp.truncate(act.join(gone, "vid", "left_anti"))
         aedges = cp.truncate(
             aedges.join(gone.withColumnRenamed("vid", "src"), "src", "left_anti")
             .join(gone.withColumnRenamed("vid", "dst"), "dst", "left_anti")
             .select("src", "dst", "p_src", "p_dst")
         )
+        # prior round's state was copied into the new checkpoints above
+        # (truncate is eager) — free its blocks now, not at shutdown
+        release_local_checkpoint(old_act)
+        release_local_checkpoint(old_aedges)
     if stats is not None:
         stats["rounds"] = rounds
     if mis is None:

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager
+from ..plans.checkpoint import CheckpointManager, release_local_checkpoint
 
 
 def random_walks(
@@ -98,6 +98,7 @@ def random_walks(
             .agg(F.min(F.struct("h", "dst")).alias("m"))
             .select("start", "rep", F.col("m.dst").alias("cur"))
         )
+        old_state, old_out = state, out
         state = cp.truncate(nxt)
         out = cp.truncate(
             out.unionByName(
@@ -109,6 +110,15 @@ def random_walks(
                 )
             )
         )
+        # the new eager checkpoints hold copies of everything the prior
+        # step's frames contributed; free those blocks now. Ordering
+        # matters: out's step-0 rows are a lazy select over the INITIAL
+        # state checkpoint, so old_state is only releasable after the
+        # out truncate above materialized. old_out at t=0 is that lazy
+        # select itself (not a checkpoint) — release is a no-op there.
+        release_local_checkpoint(old_state)
+        if t > 0:
+            release_local_checkpoint(old_out)
     if stats is not None:
         stats["length"] = length
         stats["walks_per_node"] = walks_per_node
