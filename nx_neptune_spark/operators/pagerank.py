@@ -32,6 +32,7 @@ Physical plan per iteration (one shuffle, north rule):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
@@ -64,6 +65,17 @@ class PowerIterationFailedConvergence(RuntimeError):
 HUB_MIN_DEGREE = 10_000
 HUB_IDEAL_MULTIPLE = 16
 HUB_MAX_KEYS = 256
+
+# Lineage-truncation cadence of the lazy fixed-depth loop: every k
+# iterations the ranks frame gets an EAGER localCheckpoint (a blocking
+# driver action mid-run). The per-iteration contribs frames already
+# carry lazy localCheckpoints, so the logical plan stays linear in
+# depth either way; the eager cut only bounds the ANALYZED plan depth
+# of the final action. Serial-fraction probe (scripts/
+# serial_fraction_ab.py, W~0 graph at local[2]): cadence is a pure
+# serial-latency trade — measured per-run overhead vs depth recorded
+# in BENCH/BASELINE.md. Env-tunable for the probe harness.
+TRUNCATE_EVERY = int(os.environ.get("NXS_PR_TRUNCATE_EVERY", "5"))
 
 
 def pagerank(
@@ -301,13 +313,27 @@ def _pagerank_impl(
     # block instead of one per iteration (see pagerank() docstring).
     blocked = fixed_iterations is None and check_every > 1
     if lazy_ok or blocked:
-        # ZERO pre-loop driver actions: the sentinel union is taken
-        # unconditionally (it contributes no rows when the graph has no
-        # dangling vertices) and the per-iteration danglesum is a
-        # key-less aggregate, which yields exactly one row -- 0.0 when
-        # the sentinel key never appears -- so the plan shape does not
-        # depend on whether dangling vertices exist. ONE repartition +
-        # ONE persist for the (links + sentinel) table.
+        # ONE pre-loop driver action: an emptiness probe over the
+        # persisted meta table decides whether the graph has dangling
+        # vertices at all. When it does NOT (the common case for link
+        # graphs whose vertex set is the crawled pages -- every page
+        # links out), the per-iteration danglesum machinery (one extra
+        # key-less aggregate stage + one scalar BroadcastExchange, i.e.
+        # one blocking driver round-trip per iteration) is provably
+        # dead: D_t == 0 every iteration, and alpha*(contrib + 0*dw)
+        # == alpha*contrib bit-exactly. The serial-fraction probe
+        # (scripts/serial_fraction_ab.py) measures that round-trip at
+        # ~0.2s/iteration on this sandbox -- 10x the one-off probe cost
+        # for a 10-iteration run -- and on a real cluster each scalar
+        # broadcast is still a full stage barrier + driver collect.
+        # When dangling vertices exist, the SENTINEL-EDGE plan below is
+        # used: every dangling vertex gets a link to dst = -1 with
+        # share 1.0, so the regular contribs aggregate also produces
+        # danglesum as the contrib of key -1 -- the exact direct sum
+        # over dangling ranks (same arithmetic as the eager path), in
+        # the SAME single exchange; the 1-row filter on that key folds
+        # back in with a broadcast cross join.
+        has_dangling = not meta.where(F.col("is_dangling")).isEmpty()
         if graph.vids_non_negative:
             sentinel_dst = -1
         else:
@@ -321,7 +347,7 @@ def _pagerank_impl(
             F.lit(1.0).alias("share"),
         )
         lz_links = (
-            raw_links.unionByName(sentinel)
+            (raw_links.unionByName(sentinel) if has_dangling else raw_links)
             .repartition(npart, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -334,6 +360,23 @@ def _pagerank_impl(
                 salt_buckets=salt_buckets,
                 salt_from="src",
             )
+            if not has_dangling:
+                # D_t == 0 bit-exactly: the rank update collapses to
+                # alpha*contrib + (1-alpha)*p -- no danglesum aggregate,
+                # no scalar broadcast, no second consumer of contribs
+                # (so no lineage fork to checkpoint; the eager truncate
+                # in the loop bounds analyzed depth).
+                return (
+                    meta.join(contribs, meta.vid == contribs.dst, "left")
+                    .select(
+                        "vid",
+                        (
+                            F.lit(alpha)
+                            * F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(1.0 - alpha) * F.col("p")
+                        ).alias("rank"),
+                    )
+                )
             # contribs is consumed twice (rank update + danglesum row).
             # Cut its lineage with a LAZY localCheckpoint: no driver
             # action now, one materialization at job time serving both
@@ -363,7 +406,7 @@ def _pagerank_impl(
         if lazy_ok:
             for it in range(start_iter, limit):
                 ranks = step(ranks)
-                if (it + 1) % 5 == 0 and it != limit - 1:
+                if (it + 1) % TRUNCATE_EVERY == 0 and it != limit - 1:
                     ranks = cp.truncate(ranks)
             out = ranks.select("vid", "rank").localCheckpoint(eager=True)
             lz_links.unpersist()
