@@ -93,6 +93,18 @@ KTRUSS_ORACLE_ROUNDS = 5
 JACCARD_T = 0.2
 LSH_JACCARD_T = 0.35
 COS_T = 0.35
+# spanning-forest fixture: 80 vertices in two components (path + chord
+# blocks of 50 and 30); weights are the Knuth-mix bijection
+# ((u*80+v) * 2654435761) % 2^32 over canonical pairs — DISTINCT by
+# construction (odd multiplier mod 2^32 is a bijection and u*80+v is
+# unique for u<v<80), so the MSF is unique and the oracle's cut-
+# property characterization is exact. Fixed size at every sf: the
+# DuckDB side computes an unbounded recursive minimax closure, whose
+# row count must not scale with the document table.
+MSF_N = 80
+MSF_SPLIT = 50
+MSF_MIX = 2654435761
+MSF_MOD = 4294967296
 TOPK = 5
 N_QUERIES = 3
 
@@ -1633,6 +1645,67 @@ def q_k_truss(spark, sf_dir):
     )
 
 
+def _msf_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Two-component weighted fixture (constants near MSF_N): a 50- and
+    a 30-vertex block, each a path plus quadratic/affine chords; weights
+    are the Knuth-mix bijection over canonical pairs (distinct ->
+    unique MSF). Fixed 80 vertices at every sf so the oracle's
+    recursive minimax closure stays O(1)."""
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("i"))
+        .where(F.col("i") < MSF_N)
+    )
+    path = ids.where(
+        (F.col("i") < MSF_N - 1) & (F.col("i") != MSF_SPLIT - 1)
+    ).select(F.col("i").alias("src"), (F.col("i") + 1).alias("dst"))
+    ch0 = ids.where(F.col("i") < MSF_SPLIT).select(
+        F.col("i").alias("src"),
+        ((F.col("i") * F.col("i") + 7) % MSF_SPLIT).alias("dst"),
+    )
+    ch1 = ids.where(F.col("i") >= MSF_SPLIT).select(
+        F.col("i").alias("src"),
+        (F.lit(MSF_SPLIT) + ((F.col("i") * 3 + 11) % (MSF_N - MSF_SPLIT))).alias(
+            "dst"
+        ),
+    )
+    canon = (
+        path.unionByName(ch0)
+        .unionByName(ch1)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    weighted = canon.withColumn(
+        "weight",
+        ((F.col("src") * MSF_N + F.col("dst")) * F.lit(MSF_MIX) % F.lit(MSF_MOD))
+        .cast("double"),
+    )
+    return LinkGraph(
+        weighted, ids.select(F.col("i").alias("vid")), directed=False,
+        vids_non_negative=True,
+    )
+
+
+def q_min_spanning_forest(spark, sf_dir):
+    """Minimum spanning forest via distributed Boruvka
+    (operators/msf.py, Boruvka 1926). Distinct weights make the MSF
+    unique, so the oracle (_msf_sql) can verify it NON-iteratively via
+    the cut property: an edge is in the MSF iff no path between its
+    endpoints uses only strictly lighter edges — one recursive minimax
+    closure instead of unrolled Boruvka rounds."""
+    from nx_neptune_spark.operators.msf import minimum_spanning_edges
+
+    g = _msf_graph(spark, sf_dir)
+    return minimum_spanning_edges(g).select(
+        F.col("src").cast("long").alias("u"),
+        F.col("dst").cast("long").alias("v"),
+        F.col("weight").alias("w"),
+    )
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted single-source shortest paths from vid 0 (frontier
     Bellman-Ford, operators/sssp.py) with deterministic integer-valued
@@ -1741,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_web": q_katz_web,
         "core_numbers": q_core_numbers,
         "k_truss": q_k_truss,
+        "min_spanning_forest": q_min_spanning_forest,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -2023,6 +2097,53 @@ e{k} AS MATERIALIZED (
         f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM e{k_n}"
     )
     return "".join(parts)
+
+
+def _msf_sql() -> str:
+    """Cut-property MSF oracle (operators/msf.py): with DISTINCT
+    weights, an edge is in the unique MSF iff NO path between its
+    endpoints uses only strictly lighter edges. One recursive minimax
+    closure (walk rows are deduped by UNION, domain = pairs x distinct
+    max-weights, so it terminates; the fixture is pinned to MSF_N=80
+    vertices at every sf, keeping the closure O(1)) replaces unrolled
+    Boruvka rounds — the oracle is round-free and shares zero algorithm
+    structure with the engine."""
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {MSF_N}),
+raw AS (
+  SELECT i AS src, i + 1 AS dst FROM ids
+  WHERE i < {MSF_N - 1} AND i <> {MSF_SPLIT - 1}
+  UNION ALL
+  SELECT i, (i*i + 7) % {MSF_SPLIT} FROM ids WHERE i < {MSF_SPLIT}
+  UNION ALL
+  SELECT i, {MSF_SPLIT} + ((i*3 + 11) % {MSF_N - MSF_SPLIT}) FROM ids
+  WHERE i >= {MSF_SPLIT}
+),
+we AS MATERIALIZED (
+  SELECT u, v,
+         CAST(((CAST(u AS BIGINT)*{MSF_N} + v) * {MSF_MIX}) % {MSF_MOD}
+              AS DOUBLE) AS w
+  FROM (
+    SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+    FROM raw WHERE src <> dst)
+),
+ue AS MATERIALIZED (
+  SELECT u AS a, v AS b, w FROM we
+  UNION ALL SELECT v AS a, u AS b, w FROM we
+),
+walk AS (
+  SELECT a, b, w AS m FROM ue
+  UNION
+  SELECT walk.a, ue.b, GREATEST(walk.m, ue.w)
+  FROM walk JOIN ue ON walk.b = ue.a
+  WHERE ue.b <> walk.a
+)
+SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v, e.w
+FROM we e
+WHERE NOT EXISTS (
+  SELECT 1 FROM walk WHERE walk.a = e.u AND walk.b = e.v AND walk.m < e.w
+)"""
 
 
 def _sssp_sql(rounds: int = None) -> str:
@@ -3831,6 +3952,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_web": _katz_sql(),
         "core_numbers": _kcore_sql(),
         "k_truss": _ktruss_sql(),
+        "min_spanning_forest": _msf_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "betweenness": _betweenness_sql(),

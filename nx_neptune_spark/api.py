@@ -1612,3 +1612,19 @@ def edge_betweenness_centrality(
     return {
         (name_of[r["src"]], name_of[r["dst"]]): r["betweenness"] for r in rows
     }
+
+
+def minimum_spanning_edge_list(
+    graph: LinkGraph, maximum: bool = False, **ignored
+) -> list:
+    """Spanning-forest edges as (u_name, v_name) canonical pairs in a
+    deterministic order (the Boruvka total order (w, u, v) makes the
+    edge set unique on distinct-weight graphs; see operators/msf.py)."""
+    from .operators.msf import minimum_spanning_edges as _msf
+
+    graph._guard_adapter("spanning-forest adapters")
+    name_of = graph.name_of()
+    rows = _msf(graph, maximum=maximum).collect()
+    return sorted(
+        (name_of[r["src"]], name_of[r["dst"]]) for r in rows
+    )

@@ -139,6 +139,10 @@ ALGORITHMS = [
     "maximal_matching",
     "min_weighted_vertex_cover",
     "dominating_set",
+    "minimum_spanning_edges",
+    "maximum_spanning_edges",
+    "minimum_spanning_tree",
+    "maximum_spanning_tree",
 ]
 
 
@@ -161,6 +165,32 @@ def _lg(G) -> LinkGraph:
 def _back(G) -> dict[str, Any]:
     """str(vertex name) -> original node object."""
     return {str(n): n for n in G.nodes()}
+
+
+def _weighted_lg(G, weight: str, ignore_nan: bool) -> LinkGraph:
+    """LinkGraph honoring a CUSTOM weight data key + nx's NaN contract
+    (spanning-tree family: ValueError on NaN unless ignore_nan, which
+    instead drops the edge). ``_lg``/``from_networkx`` only read the
+    canonical "weight" key, so the spanning-tree dispatches build their
+    triples here."""
+    import math
+
+    import networkx as nx
+
+    pairs = []
+    for u, v, d in G.edges(data=True):
+        w = d.get(weight, 1)
+        if isinstance(w, float) and math.isnan(w):
+            if ignore_nan:
+                continue
+            raise ValueError(
+                f"NaN found as an edge weight. Edge ({u}, {v}, {d})"
+            )
+        pairs.append((str(u), str(v), float(w)))
+    return LinkGraph.from_edge_pairs(
+        _spark(), pairs, nodes=[str(n) for n in G.nodes()],
+        directed=G.is_directed(),
+    )
 
 
 class BackendInterface:
@@ -1110,6 +1140,78 @@ class BackendInterface:
             [(u, v) for u, v in H.edges if frozenset((u, v)) not in keep]
         )
         H.remove_nodes_from([n for n in list(H) if H.degree(n) == 0])
+        return H
+
+    @staticmethod
+    def minimum_spanning_edges(
+        G, algorithm="kruskal", weight="weight", keys=True, data=True,
+        ignore_nan=False, **kw,
+    ):
+        # `algorithm` selects nx's sequential strategy; the result set
+        # is algorithm-independent on distinct-weight graphs, and the
+        # engine always runs distributed Boruvka (operators/msf.py).
+        # Yield order mirrors kruskal: ascending (weight, u, v).
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "minimum_spanning_edges is not implemented for directed graphs"
+            )
+        if G.is_multigraph():
+            raise nx.NetworkXNotImplemented(
+                "spanning-forest dispatch is not implemented for multigraphs"
+            )
+        maximum = kw.pop("_maximum", False)
+        back = _back(G)
+        pairs = api.minimum_spanning_edge_list(
+            _weighted_lg(G, weight, ignore_nan), maximum=maximum
+        )
+        chosen = [(back[a], back[b]) for a, b in pairs]
+        chosen.sort(
+            key=lambda e: (
+                (-1 if maximum else 1) * G[e[0]][e[1]].get(weight, 1),
+                str(e[0]), str(e[1]),
+            )
+        )
+        for u, v in chosen:
+            yield (u, v, G[u][v]) if data else (u, v)
+
+    @staticmethod
+    def maximum_spanning_edges(
+        G, algorithm="kruskal", weight="weight", keys=True, data=True,
+        ignore_nan=False, **kw,
+    ):
+        yield from BackendInterface.minimum_spanning_edges(
+            G, algorithm=algorithm, weight=weight, keys=keys, data=data,
+            ignore_nan=ignore_nan, _maximum=True,
+        )
+
+    @staticmethod
+    def minimum_spanning_tree(G, weight="weight", algorithm="kruskal",
+                              ignore_nan=False, **kw):
+        # nx returns a fresh Graph with ALL nodes (graph/node/edge data
+        # shallow-copied) and only the forest edges
+        H = G.__class__()
+        H.graph.update(G.graph)
+        H.add_nodes_from(G.nodes(data=True))
+        for u, v, d in BackendInterface.minimum_spanning_edges(
+            G, algorithm=algorithm, weight=weight, ignore_nan=ignore_nan,
+            **kw,
+        ):
+            H.add_edge(u, v, **d)
+        return H
+
+    @staticmethod
+    def maximum_spanning_tree(G, weight="weight", algorithm="kruskal",
+                              ignore_nan=False, **kw):
+        H = G.__class__()
+        H.graph.update(G.graph)
+        H.add_nodes_from(G.nodes(data=True))
+        for u, v, d in BackendInterface.maximum_spanning_edges(
+            G, algorithm=algorithm, weight=weight, ignore_nan=ignore_nan,
+            **kw,
+        ):
+            H.add_edge(u, v, **d)
         return H
 
     @staticmethod

@@ -193,3 +193,57 @@ def test_matching_cover_dominating_dispatch(spark):
     dom_a = nx.dominating_set(g, start_with="A", backend="spark")
     assert "A" in dom_a
     assert all(v in dom_a or any(n in dom_a for n in g.neighbors(v)) for v in g)
+
+
+def test_spanning_tree_dispatch(spark):
+    import math
+    import random
+
+    rnd = random.Random(41)
+    g = nx.gnm_random_graph(14, 26, seed=9)
+    ws = rnd.sample(range(1, 500), g.number_of_edges())
+    for (u, v), w in zip(g.edges, ws):
+        g[u][v]["weight"] = float(w)
+
+    t_got = nx.minimum_spanning_tree(g, backend="spark")
+    t_want = nx.minimum_spanning_tree(g)
+    assert set(t_got.nodes) == set(t_want.nodes)
+    assert {frozenset(e) for e in t_got.edges} == {
+        frozenset(e) for e in t_want.edges
+    }
+    assert t_got.size(weight="weight") == t_want.size(weight="weight")
+
+    # generator form: kruskal yield order (ascending weight)
+    seq = list(nx.minimum_spanning_edges(g, backend="spark"))
+    assert [frozenset((u, v)) for u, v, _ in seq] == [
+        frozenset((u, v)) for u, v, _ in nx.minimum_spanning_edges(g)
+    ]
+    assert all(isinstance(d, dict) for _, _, d in seq)
+
+    mx = nx.maximum_spanning_tree(g, backend="spark")
+    assert {frozenset(e) for e in mx.edges} == {
+        frozenset(e) for e in nx.maximum_spanning_tree(g).edges
+    }
+
+    # custom weight key honored
+    h = nx.Graph()
+    h.add_edge("a", "b", cost=3.0)
+    h.add_edge("b", "c", cost=1.0)
+    h.add_edge("a", "c", cost=2.0)
+    t = nx.minimum_spanning_tree(h, weight="cost", backend="spark")
+    assert {frozenset(e) for e in t.edges} == {
+        frozenset(("b", "c")), frozenset(("a", "c"))
+    }
+
+    # NaN contract
+    h["a"]["b"]["cost"] = math.nan
+    with pytest.raises(ValueError):
+        nx.minimum_spanning_tree(h, weight="cost", backend="spark")
+    t2 = nx.minimum_spanning_tree(h, weight="cost", ignore_nan=True, backend="spark")
+    assert {frozenset(e) for e in t2.edges} == {
+        frozenset(("b", "c")), frozenset(("a", "c"))
+    }
+
+    # directed refusal, nx-shaped
+    with pytest.raises(nx.NetworkXNotImplemented):
+        list(nx.minimum_spanning_edges(nx.DiGraph([(0, 1)]), backend="spark"))
