@@ -70,3 +70,7 @@ from .distance import (  # noqa: F401
     radius,
     wiener_index,
 )
+from .msf import (  # noqa: F401
+    minimum_spanning_edges,
+    minimum_spanning_forest_weight,
+)
