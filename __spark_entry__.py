@@ -223,6 +223,69 @@ def _scc_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
 
 
+DAG_N = 120  # weighted-DAG fixture size (critical-path contract query)
+
+
+def _dag_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed weighted DAG, 120 vertices, all edges forward (i<j so
+    acyclic by construction): chain i->i+1 w=(i*7)%9+1, skip i->i+3
+    w=(i*5)%11-3 when i%2==0 (w ranges -3..7 — negative weights so
+    the nx restart-clamp path is live), and skip i->i+5 w=(i*3)%7+2
+    when i%3==0."""
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < DAG_N)
+    chain = ids.where(F.col("i") + 1 < DAG_N).select(
+        F.col("i").alias("src"),
+        (F.col("i") + 1).alias("dst"),
+        ((F.col("i") * 7) % 9 + 1).cast("double").alias("weight"),
+    )
+    skip3 = ids.where((F.col("i") % 2 == 0) & (F.col("i") + 3 < DAG_N)).select(
+        F.col("i").alias("src"),
+        (F.col("i") + 3).alias("dst"),
+        ((F.col("i") * 5) % 11 - 3).cast("double").alias("weight"),
+    )
+    skip5 = ids.where((F.col("i") % 3 == 0) & (F.col("i") + 5 < DAG_N)).select(
+        F.col("i").alias("src"),
+        (F.col("i") + 5).alias("dst"),
+        ((F.col("i") * 3) % 7 + 2).cast("double").alias("weight"),
+    )
+    edges = chain.unionByName(skip3).unionByName(skip5)
+    return LinkGraph(edges, ids.select(F.col("i").alias("vid")), directed=True)
+
+
+def _snapshot_graphs(spark: SparkSession, sf_dir: str):
+    """Two 'crawl snapshots' over the same url universe (all doc_ids):
+    A = ring i->(i+1)%n + chord i->(i+7)%n when i%5==0;
+    B = the ring with every 4th link dropped (decayed pages), chords
+    kept only when i%3!=0, plus NEW links i->(i+11)%n when i%6==0.
+    Same vertex set, overlapping edge sets — the snapshot-diff
+    fixture for the set-operation contract queries."""
+    ids, n = _ids_n(spark, sf_dir)
+    verts = ids.select(F.col("i").alias("vid"))
+    ring = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    chord = ids.where(F.col("i") % 5 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % n).alias("dst")
+    )
+    a_edges = ring.unionByName(chord).where(F.col("src") != F.col("dst"))
+    ring_b = ids.where(F.col("i") % 4 != 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst")
+    )
+    chord_b = ids.where((F.col("i") % 5 == 0) & (F.col("i") % 3 != 0)).select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % n).alias("dst")
+    )
+    new_b = ids.where(F.col("i") % 6 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 11) % n).alias("dst")
+    )
+    b_edges = (
+        ring_b.unionByName(chord_b).unionByName(new_b)
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        LinkGraph(a_edges, verts, directed=True),
+        LinkGraph(b_edges, verts, directed=True),
+    )
+
+
 TRIAD_N = 120  # triad-census fixture size: C(120,3) = 280,840 triples
 
 
@@ -610,6 +673,66 @@ def q_topo_generations(spark, sf_dir):
     return topological_generations(condensation(g)).select(
         F.col("vid").alias("scc_id"), "generation"
     )
+
+
+def q_dag_longest(spark, sf_dir):
+    """Weighted critical-path table (operators/dagpath.py
+    dag_longest_path_table — nx.dag_longest_path's per-vertex DP) on
+    the _dag_graph fixture: dist(v) = max-weight path ending at v
+    under nx's restart clamp (a negative best incoming total restarts
+    v as its own source: dist 0, pred NULL), pred = argmax by
+    (total, src) — the operator's documented deterministic
+    refinement of nx's dict-order tie. Oracle: all-vertex-seeded
+    recursive path enumeration (every vertex seeds at 0, so the max
+    per vertex IS the clamped DP — a prefix you'd clamp away always
+    loses to the fresh 0 seed), pred re-derived from the final dists
+    with the same (total desc, src desc) order."""
+    from nx_neptune_spark.operators.dagpath import dag_longest_path_table
+
+    g = _dag_graph(spark, sf_dir)
+    return dag_longest_path_table(g, weight="weight").select(
+        "vid", F.round("dist", 8).alias("dist"), "pred"
+    )
+
+
+def _setop_named_edges(g) -> "DataFrame":
+    """Result edges of a set-op LinkGraph mapped back to integer url
+    ids (the rebuilt graph carries a fresh dense-id dictionary, so the
+    contract row reports NAMES, which the oracle regenerates)."""
+    v = g.vertices
+    return (
+        g.edges.join(
+            v.select(F.col("vid").alias("src"), F.col("name").alias("sn")), "src"
+        )
+        .join(v.select(F.col("vid").alias("dst"), F.col("name").alias("dn")), "dst")
+        .select(
+            F.col("sn").cast("long").alias("src_id"),
+            F.col("dn").cast("long").alias("dst_id"),
+        )
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot diff (operators/setops.py symmetric_difference —
+    nx.symmetric_difference in name space): links added + removed
+    between the two _snapshot_graphs crawls. All joins are on edge-name
+    pairs / name dictionaries; the oracle is the literal relational
+    algebra ((A EXCEPT B) UNION (B EXCEPT A)) over the regenerated
+    edge sets."""
+    from nx_neptune_spark.operators.setops import symmetric_difference
+
+    a, b = _snapshot_graphs(spark, sf_dir)
+    return _setop_named_edges(symmetric_difference(a, b))
+
+
+def q_snapshot_common(spark, sf_dir):
+    """Stable core of the two crawls (operators/setops.py intersection
+    — nx.intersection): links present in BOTH snapshots. Oracle:
+    A INTERSECT B."""
+    from nx_neptune_spark.operators.setops import intersection
+
+    a, b = _snapshot_graphs(spark, sf_dir)
+    return _setop_named_edges(intersection(a, b))
 
 
 def q_degree_connectivity(spark, sf_dir):
@@ -1837,6 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "attracting_components": q_attracting,
         "topo_generations": q_topo_generations,
+        "dag_longest": q_dag_longest,
+        "snapshot_diff": q_snapshot_diff,
+        "snapshot_common": q_snapshot_common,
         "degree_connectivity": q_degree_connectivity,
         "neighbor_degree": q_neighbor_degree,
         "triadic_census": q_triadic_census,
@@ -2667,6 +2793,89 @@ g(v, d) AS (
   SELECT ce.dst_scc, g.d + 1 FROM g JOIN ce ON ce.src_scc = g.v
 )
 SELECT v AS scc_id, max(d) AS generation FROM g GROUP BY v
+"""
+
+
+_SNAPSHOT_CTE = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+a AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i+1) % c AS dst FROM ids, n
+    UNION ALL
+    SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0
+  ) WHERE src <> dst
+),
+b AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i+1) % c AS dst FROM ids, n WHERE i % 4 <> 0
+    UNION ALL
+    SELECT i, (i+7) % c FROM ids, n WHERE i % 5 = 0 AND i % 3 <> 0
+    UNION ALL
+    SELECT i, (i+11) % c FROM ids, n WHERE i % 6 = 0
+  ) WHERE src <> dst
+)"""
+
+
+def _snapshot_diff_sql() -> str:
+    """Symmetric-difference oracle: literal EXCEPT/UNION relational
+    algebra over the regenerated snapshot edge sets."""
+    return _SNAPSHOT_CTE + """
+SELECT src AS src_id, dst AS dst_id FROM (
+  (SELECT * FROM a EXCEPT SELECT * FROM b)
+  UNION
+  (SELECT * FROM b EXCEPT SELECT * FROM a)
+)
+"""
+
+
+def _snapshot_common_sql() -> str:
+    return _SNAPSHOT_CTE + """
+SELECT src AS src_id, dst AS dst_id FROM (
+  SELECT * FROM a INTERSECT SELECT * FROM b
+)
+"""
+
+
+def _dag_longest_sql() -> str:
+    """Critical-path oracle over the regenerated _dag_graph edges.
+    dist: recursive CTE seeding EVERY vertex at 0 and extending along
+    edges (UNION dedupes (v,d) pairs; sums are integer-valued doubles
+    in a bounded range, so the enumeration is finite) — the per-vertex
+    max equals nx's clamped DP because a negative-prefix path always
+    loses to the vertex's own 0 seed. pred: best incoming
+    (dist(src)+w, src) by (total desc, src desc), nulled when the
+    best total is negative (the nx restart) or absent (a source)."""
+    return """
+WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120),
+e AS MATERIALIZED (
+  SELECT i AS src, i + 1 AS dst, CAST((i*7) % 9 + 1 AS DOUBLE) AS w
+  FROM ids WHERE i + 1 < 120
+  UNION ALL
+  SELECT i, i + 3, CAST((i*5) % 11 - 3 AS DOUBLE)
+  FROM ids WHERE i % 2 = 0 AND i + 3 < 120
+  UNION ALL
+  SELECT i, i + 5, CAST((i*3) % 7 + 2 AS DOUBLE)
+  FROM ids WHERE i % 3 = 0 AND i + 5 < 120
+),
+paths(v, d) AS (
+  SELECT i, CAST(0 AS DOUBLE) FROM ids
+  UNION
+  SELECT e.dst, p.d + e.w FROM paths p JOIN e ON e.src = p.v
+),
+dist AS (SELECT v AS vid, max(d) AS dist FROM paths GROUP BY v),
+best AS (
+  SELECT e.dst AS vid, ds.dist + e.w AS s, e.src AS src,
+         row_number() OVER (
+           PARTITION BY e.dst ORDER BY ds.dist + e.w DESC, e.src DESC
+         ) AS rn
+  FROM e JOIN dist ds ON ds.vid = e.src
+),
+pred AS (
+  SELECT vid, CASE WHEN s >= 0 THEN src END AS pred FROM best WHERE rn = 1
+)
+SELECT d.vid, round(d.dist, 8) AS dist, p.pred
+FROM dist d LEFT JOIN pred p ON p.vid = d.vid
 """
 
 
@@ -3999,6 +4208,9 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(),
         "attracting_components": _attracting_sql(),
         "topo_generations": _topo_generations_sql(),
+        "dag_longest": _dag_longest_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
+        "snapshot_common": _snapshot_common_sql(),
         "degree_connectivity": _degree_connectivity_sql(),
         "neighbor_degree": _neighbor_degree_sql(),
         "triadic_census": _triadic_census_sql(),

@@ -510,6 +510,53 @@ def condensation(graph: LinkGraph) -> tuple[dict[int, set], set]:
     return members, comp_edges
 
 
+def _setop_adapter(what: str, fn, g1: LinkGraph, g2: LinkGraph):
+    """(node_names, edge_name_pairs) view of a distributed set-op
+    result — adapter-scale collect, guarded like every NetworkX-dict
+    adapter. The dispatch layer maps names back to caller node
+    objects and assembles the nx graph."""
+    res = fn(g1, g2)
+    res._guard_adapter(what)
+    vrows = res.vertices.collect()
+    name_of = {r["vid"]: r["name"] for r in vrows}
+    nodes = [r["name"] for r in vrows]
+    edges = [
+        (name_of[r["src"]], name_of[r["dst"]]) for r in res.edges.collect()
+    ]
+    return nodes, edges
+
+
+def compose(g1: LinkGraph, g2: LinkGraph, **ignored):
+    """``nx.compose`` (topology; snapshot union). Returns
+    (node_names, edge_name_pairs)."""
+    from .operators.setops import compose as _op
+
+    return _setop_adapter("compose", _op, g1, g2)
+
+
+def intersection(g1: LinkGraph, g2: LinkGraph, **ignored):
+    """``nx.intersection``: common nodes + common edges."""
+    from .operators.setops import intersection as _op
+
+    return _setop_adapter("intersection", _op, g1, g2)
+
+
+def difference(g1: LinkGraph, g2: LinkGraph, **ignored):
+    """``nx.difference``: g1 edges absent from g2 (equal node sets
+    required; ValueError otherwise, nx-shaped by the dispatcher)."""
+    from .operators.setops import difference as _op
+
+    return _setop_adapter("difference", _op, g1, g2)
+
+
+def symmetric_difference(g1: LinkGraph, g2: LinkGraph, **ignored):
+    """``nx.symmetric_difference``: the crawl-diff primitive — edges
+    in exactly one snapshot."""
+    from .operators.setops import symmetric_difference as _op
+
+    return _setop_adapter("symmetric_difference", _op, g1, g2)
+
+
 def triangles(graph: LinkGraph, nodes=None) -> dict:
     from .operators.triangles import triangle_count as _tc
 
@@ -1153,6 +1200,76 @@ def bfs_layers(graph: LinkGraph, sources, **ignored):
     rows = _bl(graph, [vid_of[str(s)] for s in sources]).collect()
     for r in rows:
         yield [name_of[m] for m in r["members"]]
+
+
+def has_path(graph: LinkGraph, source, target, **ignored) -> bool:
+    """``nx.has_path``: early-exit BFS reachability probe."""
+    from .operators.bfs import has_path as _hp
+
+    vid_of = graph.vid_of()
+    for n, role in ((source, "Source"), (target, "Target")):
+        if str(n) not in vid_of:
+            raise ValueError(f"{role} {n} is not in G")
+    return _hp(graph, vid_of[str(source)], vid_of[str(target)])
+
+
+def single_source_shortest_path_length(
+    graph: LinkGraph, source, cutoff: int | None = None, **ignored
+) -> dict:
+    """``nx.single_source_shortest_path_length``: hop distances from
+    source (source itself at 0), optionally depth-capped."""
+    from .operators.bfs import bfs_levels
+
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if str(source) not in vid_of:
+        raise ValueError(f"Source {source} is not in G")
+    rows = bfs_levels(graph, [vid_of[str(source)]], max_depth=cutoff).collect()
+    return {name_of[r["vid"]]: r["level"] for r in rows}
+
+
+def is_directed_acyclic_graph(graph: LinkGraph, **ignored) -> bool:
+    """``nx.is_directed_acyclic_graph``: the bulk Kahn peel either
+    exhausts the graph (DAG) or stalls on the cyclic remainder."""
+    if not graph.directed:
+        return False
+    from .operators.toposort import topological_generations as _tg
+
+    try:
+        _tg(graph)
+        return True
+    except ValueError:
+        return False
+
+
+def dag_longest_path(
+    graph: LinkGraph,
+    weight: str = "weight",
+    default_weight: float = 1,
+    topo_order=None,
+    **ignored,
+) -> list:
+    """``nx.dag_longest_path`` (node-name list; endpoint/predecessor
+    ties break by vid — nx leaves them to dict order)."""
+    from .operators.dagpath import dag_longest_path as _dlp
+
+    _warn_unsupported("dag_longest_path", topo_order=topo_order)
+    if not graph.directed:
+        raise ValueError("dag_longest_path requires a directed graph")
+    name_of = graph.name_of()
+    return [name_of[v] for v in _dlp(graph, weight, default_weight)]
+
+
+def dag_longest_path_length(
+    graph: LinkGraph, weight: str = "weight", default_weight: float = 1, **ignored
+):
+    """``nx.dag_longest_path_length``: total weight of the critical
+    path (int when integral, matching nx's sum-of-ints shape)."""
+    from .operators.dagpath import dag_longest_path_length as _dlpl
+
+    if not graph.directed:
+        raise ValueError("dag_longest_path_length requires a directed graph")
+    val = _dlpl(graph, weight, default_weight)
+    return int(val) if float(val).is_integer() else val
 
 
 def eigenvector_centrality(

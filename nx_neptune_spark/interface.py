@@ -143,6 +143,15 @@ ALGORITHMS = [
     "maximum_spanning_edges",
     "minimum_spanning_tree",
     "maximum_spanning_tree",
+    "is_directed_acyclic_graph",
+    "dag_longest_path",
+    "dag_longest_path_length",
+    "has_path",
+    "single_source_shortest_path_length",
+    "compose",
+    "intersection",
+    "difference",
+    "symmetric_difference",
 ]
 
 
@@ -513,6 +522,89 @@ class BackendInterface:
         except ValueError as e:
             raise nx.NetworkXUnfeasible(str(e)) from e
         return iter([back[m] for m in order])
+
+    @staticmethod
+    def is_directed_acyclic_graph(G, **kw):
+        return api.is_directed_acyclic_graph(_lg(G), **kw)
+
+    @staticmethod
+    def dag_longest_path(G, weight="weight", default_weight=1, topo_order=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            path = api.dag_longest_path(
+                _lg(G), weight=weight, default_weight=default_weight,
+                topo_order=topo_order, **kw,
+            )
+        except ValueError as e:
+            raise nx.NetworkXNotImplemented(str(e)) from e
+        return [back[m] for m in path]
+
+    @staticmethod
+    def dag_longest_path_length(G, weight="weight", default_weight=1, **kw):
+        import networkx as nx
+
+        try:
+            return api.dag_longest_path_length(
+                _lg(G), weight=weight, default_weight=default_weight, **kw
+            )
+        except ValueError as e:
+            raise nx.NetworkXNotImplemented(str(e)) from e
+
+    @staticmethod
+    def has_path(G, source, target, **kw):
+        import networkx as nx
+
+        try:
+            return api.has_path(_lg(G), source, target, **kw)
+        except ValueError as e:
+            raise nx.NodeNotFound(str(e)) from e
+
+    @staticmethod
+    def single_source_shortest_path_length(G, source, cutoff=None, **kw):
+        import networkx as nx
+
+        back = _back(G)
+        try:
+            res = api.single_source_shortest_path_length(
+                _lg(G), source, cutoff=cutoff, **kw
+            )
+        except ValueError as e:
+            raise nx.NodeNotFound(str(e)) from e
+        return {back[k]: v for k, v in res.items()}
+
+    @staticmethod
+    def _binary_setop(G, H, api_fn):
+        import networkx as nx
+
+        if G.is_directed() != H.is_directed():
+            raise nx.NetworkXError("G and H must both be graphs or digraphs.")
+        back = {**_back(G), **_back(H)}
+        try:
+            nodes, edges = api_fn(_lg(G), _lg(H))
+        except ValueError as e:
+            raise nx.NetworkXError(str(e)) from e
+        R = G.__class__()
+        R.add_nodes_from(back[n] for n in nodes)
+        R.add_edges_from((back[u], back[v]) for u, v in edges)
+        return R
+
+    @staticmethod
+    def compose(G, H, **kw):
+        return BackendInterface._binary_setop(G, H, api.compose)
+
+    @staticmethod
+    def intersection(G, H, **kw):
+        return BackendInterface._binary_setop(G, H, api.intersection)
+
+    @staticmethod
+    def difference(G, H, **kw):
+        return BackendInterface._binary_setop(G, H, api.difference)
+
+    @staticmethod
+    def symmetric_difference(G, H, **kw):
+        return BackendInterface._binary_setop(G, H, api.symmetric_difference)
 
     @staticmethod
     def degree_assortativity_coefficient(

@@ -18,6 +18,17 @@ from .scc import strongly_connected_components  # noqa: F401
 from .condensation import condensation  # noqa: F401
 from .assortativity import degree_assortativity_coefficient  # noqa: F401
 from .toposort import topological_generations  # noqa: F401
+from .setops import (  # noqa: F401
+    compose,
+    difference,
+    intersection,
+    symmetric_difference,
+)
+from .dagpath import (  # noqa: F401
+    dag_longest_path,
+    dag_longest_path_length,
+    dag_longest_path_table,
+)
 from .katz import katz_centrality  # noqa: F401
 from .structure import (  # noqa: F401
     effective_size,

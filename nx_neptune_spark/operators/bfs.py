@@ -140,6 +140,39 @@ def ancestors(graph: LinkGraph, source: int) -> DataFrame:
     )
 
 
+def has_path(graph: LinkGraph, source: int, target: int) -> bool:
+    """True iff target is reachable from source (``nx.has_path``).
+    The frontier loop early-exits the round the target enters the
+    frontier, so work is bounded by the target's BFS level, not the
+    full reachability closure."""
+    source, target = int(source), int(target)
+    if source == target:
+        return True
+    spark = graph.spark
+    cp = CheckpointManager(spark, algorithm="has_path")
+    edges = _traversal_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = spark.createDataFrame([(source,)], "vid long")
+    visited = frontier
+    found = False
+    while True:
+        nxt = (
+            edges.join(frontier, edges.src == frontier.vid)
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited.select("vid"), "vid", "left_anti")
+        )
+        nxt = cp.truncate(nxt)
+        if nxt.isEmpty():
+            break
+        if not nxt.where(F.col("vid") == target).isEmpty():
+            found = True
+            break
+        visited = cp.truncate(visited.unionByName(nxt))
+        frontier = nxt
+    edges.unpersist()
+    return found
+
+
 def bfs_layers(
     graph: LinkGraph, sources: list[int], reverse: bool = False
 ) -> DataFrame:

@@ -247,3 +247,36 @@ def test_spanning_tree_dispatch(spark):
     # directed refusal, nx-shaped
     with pytest.raises(nx.NetworkXNotImplemented):
         list(nx.minimum_spanning_edges(nx.DiGraph([(0, 1)]), backend="spark"))
+
+
+def test_dag_reachability_dispatch(spark):
+    base = nx.gnp_random_graph(30, 0.12, seed=13, directed=True)
+    dag = nx.DiGraph((u, v) for u, v in base.edges() if u < v)
+    dag.add_nodes_from(base.nodes())
+
+    assert nx.is_directed_acyclic_graph(dag, backend="spark") is True
+    cyc = nx.DiGraph([(0, 1), (1, 2), (2, 0)])
+    assert nx.is_directed_acyclic_graph(cyc, backend="spark") is False
+
+    got = nx.dag_longest_path(dag, backend="spark")
+    assert len(got) == nx.dag_longest_path_length(dag) + 1
+    for u, v in zip(got, got[1:]):
+        assert dag.has_edge(u, v)
+    assert nx.dag_longest_path_length(dag, backend="spark") == (
+        nx.dag_longest_path_length(dag)
+    )
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.dag_longest_path(nx.Graph([(0, 1)]), backend="spark")
+
+    g = nx.gnp_random_graph(30, 0.06, seed=17, directed=True)
+    for s, t in [(0, 5), (3, 29), (7, 7)]:
+        assert nx.has_path(g, s, t, backend="spark") == nx.has_path(g, s, t)
+    with pytest.raises(nx.NodeNotFound):
+        nx.has_path(g, 0, 999, backend="spark")
+
+    assert nx.single_source_shortest_path_length(
+        g, 0, backend="spark"
+    ) == nx.single_source_shortest_path_length(g, 0)
+    assert nx.single_source_shortest_path_length(
+        g, 0, cutoff=2, backend="spark"
+    ) == nx.single_source_shortest_path_length(g, 0, cutoff=2)
