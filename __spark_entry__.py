@@ -735,6 +735,45 @@ def q_snapshot_common(spark, sf_dir):
     return _setop_named_edges(intersection(a, b))
 
 
+ANF_N = 150  # ANF fixture size (sketch-replay contract query)
+
+
+def _anf_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed ring + sparse chords over 150 urls (diameter >> the
+    probed radius, so the neighborhood curve grows through every
+    contract round): i->(i+1)%n always, i->(i+7)%n when i%3==0."""
+    ids, _ = _ids_n(spark, sf_dir)
+    ids = ids.where(F.col("i") < ANF_N)
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % ANF_N).alias("dst")
+    )
+    chord = ids.where(F.col("i") % 3 == 0).select(
+        F.col("i").alias("src"), ((F.col("i") + 7) % ANF_N).alias("dst")
+    )
+    return LinkGraph(
+        ring.unionByName(chord),
+        ids.select(F.col("i").alias("vid")),
+        directed=True,
+    )
+
+
+def q_anf(spark, sf_dir):
+    """Approximate neighborhood function curve (operators/anf.py —
+    Palmer/Gibbons/Faloutsos FM sketches, one bit_or shuffle per
+    distance round): NF(t) for t = 0..8 at K=8 trials on the
+    _anf_graph fixture. The sketch is a pure function of (vid, trial)
+    — two Lehmer hash rounds, mask = lowest set bit — so the DuckDB
+    oracle replays it BIT-FOR-BIT: balls from a bounded recursive
+    reachability CTE, the same bit_or over seed masks, the same
+    avg-R / 2^R / phi estimate, float-rounded identically."""
+    from nx_neptune_spark.operators.anf import neighborhood_function
+
+    g = _anf_graph(spark, sf_dir)
+    return neighborhood_function(g, t_max=8, k=8).select(
+        "t", F.round("nf", 6).alias("nf")
+    )
+
+
 def q_degree_connectivity(spark, sf_dir):
     """knn(k) curve (operators/assortativity.py
     average_degree_connectivity, nx default source=target="in+out")
@@ -1963,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_longest": q_dag_longest,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_common": q_snapshot_common,
+        "anf_curve": q_anf,
         "degree_connectivity": q_degree_connectivity,
         "neighbor_degree": q_neighbor_degree,
         "triadic_census": q_triadic_census,
@@ -2876,6 +2916,58 @@ pred AS (
 )
 SELECT d.vid, round(d.dist, 8) AS dist, p.pred
 FROM dist d LEFT JOIN pred p ON p.vid = d.vid
+"""
+
+
+def _anf_sql() -> str:
+    """Bit-exact FM sketch replay (operators/anf.py). The iterative
+    OR-propagation state at distance t equals bit_or of seed masks
+    over the exact ball {u : dist(v,u) <= t} (the ANF invariant), so
+    the oracle computes balls with a depth-bounded recursive CTE and
+    replays the hash inline: x = vid*K + k + 1, two Lehmer rounds
+    (h*48271+11 mod 2^31-1), mask = h & -h (the lowest set bit —
+    exactly pow(2, trailing_zeros(h))), estimate = sum over v of
+    2^avg_k(lowest-unset-bit) / 0.77351."""
+    return """
+WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 150),
+e AS MATERIALIZED (
+  SELECT i AS src, (i+1) % 150 AS dst FROM ids
+  UNION ALL
+  SELECT i, (i+7) % 150 FROM ids WHERE i % 3 = 0
+),
+reach(v, u, d) AS (
+  SELECT i, i, 0 FROM ids
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.u WHERE r.d < 8
+),
+dist AS (SELECT v, u, min(d) AS d FROM reach GROUP BY v, u),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, 8) t(k)),
+seeds AS (
+  SELECT i AS u, k,
+         (CASE WHEN h2 = 0 THEN 1 ELSE h2 END)
+           & (-(CASE WHEN h2 = 0 THEN 1 ELSE h2 END)) AS mask
+  FROM (
+    SELECT i, k,
+           (48271 * ((48271 * (i*8 + k + 1) + 11) % 2147483647) + 11)
+             % 2147483647 AS h2
+    FROM ids CROSS JOIN ks
+  )
+),
+masks AS (
+  SELECT d.v, s.k, ts.t, bit_or(s.mask) AS mask
+  FROM dist d
+  JOIN seeds s ON s.u = d.u
+  CROSS JOIN (SELECT CAST(t AS INT) AS t FROM range(0, 9) r(t)) ts
+  WHERE d.d <= ts.t
+  GROUP BY d.v, s.k, ts.t
+),
+rs AS (
+  SELECT v, t,
+         avg(CAST(log2(CAST((~mask) & (mask + 1) AS DOUBLE)) AS INT)) AS r
+  FROM masks GROUP BY v, t
+)
+SELECT t, round(sum(pow(2.0, r)) / 0.77351, 6) AS nf
+FROM rs GROUP BY t ORDER BY t
 """
 
 
@@ -4211,6 +4303,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_longest": _dag_longest_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "snapshot_common": _snapshot_common_sql(),
+        "anf_curve": _anf_sql(),
         "degree_connectivity": _degree_connectivity_sql(),
         "neighbor_degree": _neighbor_degree_sql(),
         "triadic_census": _triadic_census_sql(),

@@ -85,3 +85,7 @@ from .msf import (  # noqa: F401
     minimum_spanning_edges,
     minimum_spanning_forest_weight,
 )
+from .anf import (  # noqa: F401
+    effective_diameter,
+    neighborhood_function,
+)
