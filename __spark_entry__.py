@@ -1105,6 +1105,22 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=WALK_LEN, starts=starts)
 
 
+def q_node2vec(spark, sf_dir):
+    """Second-order node2vec corpus (operators/walks.py
+    node2vec_walks, Grover-Leskovec KDD'16) on the same skewed
+    quadratic-map digraph: 200 walks of length 8 at p=4 (return
+    discouraged), q=0.25 (outward encouraged). The exponential-race
+    key -ln((h+1)/2^60)/alpha is pure md5 + IEEE arithmetic, so the
+    oracle unrolls the steps with the identical CASE bias (prev NULL
+    -> 1, returning -> 1/4, dist-1 -> 1, else 4) and the identical
+    ln/divide — bit-for-bit replayable like the first-order corpus."""
+    from nx_neptune_spark.operators.walks import node2vec_walks
+
+    g = _pr_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") < WALK_STARTS)
+    return node2vec_walks(g, length=WALK_LEN, p=4.0, q=0.25, starts=starts)
+
+
 def _dirclust_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """Directed triangle fixture: ring i->(i+1)%n everywhere, chord
     i->(i+2)%n at even i (so {i,i+1,i+2} is a triangle at even i),
@@ -2009,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voterank": q_voterank,
         "maximal_independent_set": q_maximal_independent_set,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec,
         "greedy_color": q_greedy_color,
         "maximal_matching": q_maximal_matching,
         "rich_club": q_rich_club,
@@ -3558,6 +3575,54 @@ s{t + 1} AS MATERIALIZED (
     )
 
 
+def _node2vec_sql(length: int = None) -> str:
+    """Unrolled node2vec oracle: per step the frontier joins the edge
+    table for candidates, LEFT-joins it again for the dist-1 probe of
+    (prev, dst), applies the identical CASE bias, and picks the
+    row_number-1 candidate by (key, dst) where key is the identical
+    -ln((md5_60+1)/2^60)/alpha IEEE arithmetic."""
+    length = length or WALK_LEN
+    parts = [
+        f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i * i + 1) % c AS dst FROM ids, n
+    UNION ALL SELECT i, (i * 7 + 3) % c FROM ids, n
+    UNION ALL SELECT i, (i + 1) % c FROM ids, n) z
+  WHERE src <> dst),
+s0 AS MATERIALIZED (
+  SELECT i AS start, 0 AS rep, CAST(NULL AS BIGINT) AS prev, i AS vid
+  FROM ids WHERE i < {WALK_STARTS})"""
+    ]
+    for t in range(length):
+        parts.append(f"""
+c{t} AS (
+  SELECT s.start, s.rep, s.vid AS cur, e.dst,
+         -ln((('0x' || substr(md5(concat_ws(':', 'n2v', s.start, s.rep, {t}, e.dst)), 1, 15))::BIGINT + 1)
+             / CAST(1152921504606846976 AS DOUBLE))
+           / (CASE WHEN s.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+                   WHEN e.dst = s.prev THEN CAST(0.25 AS DOUBLE)
+                   WHEN n1.src IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(4.0 AS DOUBLE) END) AS k
+  FROM s{t} s
+  JOIN e ON e.src = s.vid
+  LEFT JOIN e n1 ON n1.src = s.prev AND n1.dst = e.dst),
+s{t + 1} AS MATERIALIZED (
+  SELECT start, rep, cur AS prev, dst AS vid FROM (
+    SELECT start, rep, cur, dst,
+           row_number() OVER (PARTITION BY start, rep ORDER BY k, dst) AS rn
+    FROM c{t}) WHERE rn = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT start, rep, {t} AS step, vid FROM s{t}" for t in range(length + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"\nSELECT start, CAST(rep AS INT) AS rep, CAST(step AS INT) AS step, vid FROM ({union})"
+    )
+
+
 def _directed_clustering_sql() -> str:
     """Fagiolo oracle: b-pair table (canonical a<b with multiplicity),
     triangles by triple pair-join (x<y<z), per-corner weighted sums,
@@ -4310,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         "voterank": _voterank_sql(),
         "maximal_independent_set": _mis_sql(),
         "random_walks": _random_walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "greedy_color": _greedy_color_sql(),
         "maximal_matching": _maximal_matching_sql(),
         "rich_club": _rich_club_sql(),

@@ -89,3 +89,8 @@ from .anf import (  # noqa: F401
     effective_diameter,
     neighborhood_function,
 )
+from .walks import (  # noqa: F401
+    node2vec_walks,
+    random_walks,
+    walk_sentences,
+)
