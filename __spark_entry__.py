@@ -1903,7 +1903,8 @@ def q_sssp_weighted(spark, sf_dir):
 
 
 def q_link_prediction(spark, sf_dir):
-    """Jaccard / Adamic-Adar / CN / preferential-attachment over
+    """Jaccard / Adamic-Adar / resource-allocation / CN /
+    preferential-attachment over
     wedge-generated candidates on the undirected projection of the
     skewed digraph (operators/linkpred.py), min_common=2 non-adjacent
     pairs (NetworkX's default non-edge ebunch restricted to the
@@ -1918,6 +1919,7 @@ def q_link_prediction(spark, sf_dir):
         F.col("common").cast("long").alias("common"),
         F.round("jaccard", 8).alias("jaccard"),
         F.round("adamic_adar", 8).alias("adamic_adar"),
+        F.round("resource_alloc", 8).alias("resource_alloc"),
         "pref_attachment",
     )
 
@@ -2481,7 +2483,8 @@ sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 deg AS (SELECT src AS vid, count(*) AS dg FROM sym GROUP BY src),
 pairs AS (
   SELECT a.dst AS u, b.dst AS v, count(*) AS common,
-         sum(1.0 / ln(d.dg)) AS aa
+         sum(1.0 / ln(d.dg)) AS aa,
+         sum(1.0 / CAST(d.dg AS DOUBLE)) AS ra
   FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
   JOIN deg d ON d.vid = a.src
   GROUP BY a.dst, b.dst
@@ -2494,6 +2497,7 @@ nonadj AS (
 SELECT p.u, p.v, p.common,
        round(p.common / CAST(du.dg + dv.dg - p.common AS DOUBLE), 8) AS jaccard,
        round(p.aa, 8) AS adamic_adar,
+       round(p.ra, 8) AS resource_alloc,
        CAST(du.dg * dv.dg AS BIGINT) AS pref_attachment
 FROM nonadj p JOIN deg du ON du.vid = p.u JOIN deg dv ON dv.vid = p.v
 """

@@ -1619,6 +1619,10 @@ def adamic_adar_index(graph: LinkGraph, ebunch=None, **ignored):
     return _linkpred_iter(graph, ebunch, "adamic_adar", 0.0)
 
 
+def resource_allocation_index(graph: LinkGraph, ebunch=None, **ignored):
+    return _linkpred_iter(graph, ebunch, "resource_alloc", 0.0)
+
+
 def preferential_attachment(graph: LinkGraph, ebunch=None, **ignored):
     """PA is degree-only (defined for every pair, not just the wedge
     support). Degrees come from the undirected simple projection —

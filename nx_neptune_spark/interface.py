@@ -125,6 +125,7 @@ ALGORITHMS = [
     "single_source_dijkstra_path_length",
     "jaccard_coefficient",
     "adamic_adar_index",
+    "resource_allocation_index",
     "preferential_attachment",
     # round-5 link-graph extensions
     "clustering",
@@ -1324,6 +1325,12 @@ class BackendInterface:
     def adamic_adar_index(G, ebunch=None, **kw):
         back = _back(G)
         for u, v, p in api.adamic_adar_index(_lg(G), ebunch=ebunch, **kw):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def resource_allocation_index(G, ebunch=None, **kw):
+        back = _back(G)
+        for u, v, p in api.resource_allocation_index(_lg(G), ebunch=ebunch, **kw):
             yield (back[u], back[v], p)
 
     @staticmethod

@@ -133,6 +133,15 @@ def test_sssp_and_linkpred_dispatch(spark):
         for u, v, p in nx.adamic_adar_index(g, ebunch)
     )
     assert aa_got == aa_want
+    ra_got = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.resource_allocation_index(g, ebunch, backend="spark")
+    )
+    ra_want = sorted(
+        (tuple(sorted((u, v))), round(p, 12))
+        for u, v, p in nx.resource_allocation_index(g, ebunch)
+    )
+    assert ra_got == ra_want
 
 
 def test_betweenness_dispatch(spark):

@@ -42,6 +42,9 @@ def check_scores(g, got):
     for u, v, aa in nx.adamic_adar_index(g, ebunch):
         r = got[tuple(sorted((str(u), str(v))))]
         assert math.isclose(r["adamic_adar"], aa, rel_tol=0, abs_tol=1e-12)
+    for u, v, ra in nx.resource_allocation_index(g, ebunch):
+        r = got[tuple(sorted((str(u), str(v))))]
+        assert math.isclose(r["resource_alloc"], ra, rel_tol=0, abs_tol=1e-12)
     for u, v, pa in nx.preferential_attachment(g, ebunch):
         r = got[tuple(sorted((str(u), str(v))))]
         assert r["pref_attachment"] == pa
