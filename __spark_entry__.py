@@ -1924,6 +1924,31 @@ def q_link_prediction(spark, sf_dir):
     )
 
 
+def q_link_prediction_community(spark, sf_dir):
+    """Community-aware link prediction (operators/linkpred.py
+    link_prediction_community): Soundarajan–Hopcroft CN / RA,
+    within–inter-cluster ratio (delta=0.001) and CCPA (alpha=0.8,
+    distance term constant-folded to N/2 on the non-adjacent wedge
+    support) over the same candidates as `link_prediction`, with a
+    deterministic 7-community partition (vid % 7)."""
+    from nx_neptune_spark.operators.linkpred import link_prediction_community
+
+    g = _pr_graph(spark, sf_dir)
+    com = g.vertices.select(
+        "vid", (F.col("vid") % 7).cast("long").alias("community")
+    )
+    res = link_prediction_community(g, com, min_common=LINKPRED_MIN_COMMON)
+    return res.select(
+        "u",
+        "v",
+        F.col("common").cast("long").alias("common"),
+        F.col("cn_sh").cast("long").alias("cn_sh"),
+        F.round("ra_sh", 8).alias("ra_sh"),
+        F.round("wic", 8).alias("wic"),
+        F.round("ccpa", 8).alias("ccpa"),
+    )
+
+
 def q_betweenness(spark, sf_dir):
     """Pivot-sampled Brandes betweenness from sources (0, 7, 23) on
     the directed pr-graph (operators/betweenness.py), unnormalized —
@@ -1997,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_spanning_forest": q_min_spanning_forest,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
+        "link_prediction_community": q_link_prediction_community,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "connected_components": q_connected_components,
@@ -2500,6 +2526,48 @@ SELECT p.u, p.v, p.common,
        round(p.ra, 8) AS resource_alloc,
        CAST(du.dg * dv.dg AS BIGINT) AS pref_attachment
 FROM nonadj p JOIN deg du ON du.vid = p.u JOIN deg dv ON dv.vid = p.v
+"""
+
+
+def _linkpred_community_sql() -> str:
+    """Community link-prediction oracle (link_prediction_community
+    semantics): same wedge self-join, with the center / both leaves
+    joined to a vid%7 community map; the [C(w)=C(u)=C(v)] flag drives
+    the SH bonus, SH-RA, and the WIC within-count; CCPA's distance is
+    the constant 2 on non-adjacent wedge-support pairs."""
+    return f"""
+WITH {_GRAPH_CTES.strip().rstrip(",").rstrip()},
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT src AS vid, count(*) AS dg FROM sym GROUP BY src),
+com AS (SELECT i AS vid, i % 7 AS community FROM ids),
+pairs AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS common,
+         sum(CASE WHEN cw.community = cu.community
+                   AND cw.community = cv.community THEN 1 ELSE 0 END) AS within,
+         sum(CASE WHEN cw.community = cu.community
+                   AND cw.community = cv.community
+             THEN 1.0 / CAST(d.dg AS DOUBLE) ELSE 0.0 END) AS ra_same,
+         min(cu.community) AS cu_c, min(cv.community) AS cv_c
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON d.vid = a.src
+  JOIN com cw ON cw.vid = a.src
+  JOIN com cu ON cu.vid = a.dst
+  JOIN com cv ON cv.vid = b.dst
+  GROUP BY a.dst, b.dst
+  HAVING count(*) >= {LINKPRED_MIN_COMMON}
+),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.v)
+)
+SELECT p.u, p.v, p.common,
+       CAST(p.common + p.within AS BIGINT) AS cn_sh,
+       round(CASE WHEN p.cu_c = p.cv_c THEN p.ra_same ELSE 0.0 END, 8) AS ra_sh,
+       round(CASE WHEN p.cu_c = p.cv_c
+             THEN p.within / (p.common - p.within + 0.001)
+             ELSE 0.0 END, 8) AS wic,
+       round(0.8 * p.common + 0.2 * n.c / 2.0, 8) AS ccpa
+FROM nonadj p CROSS JOIN n
 """
 
 
@@ -4325,6 +4393,7 @@ def oracle_sql() -> dict[str, str]:
         "min_spanning_forest": _msf_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
+        "link_prediction_community": _linkpred_community_sql(),
         "betweenness": _betweenness_sql(),
         "edge_betweenness": _edge_betweenness_sql(),
         "connected_components": _cc_sql(),

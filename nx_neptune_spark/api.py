@@ -1663,6 +1663,176 @@ def preferential_attachment(graph: LinkGraph, ebunch=None, **ignored):
         yield (name_of[a], name_of[b], deg[a] * deg[b])
 
 
+def _communities_df(graph: LinkGraph, communities: dict):
+    """Map a {node name: community} dict to DataFrame(vid, community),
+    raising on gaps (NetworkX raises NetworkXAlgorithmError when a node
+    lacks the community attribute)."""
+    import networkx as nx
+
+    vid_of = graph.vid_of()
+    by_name = {str(k): v for k, v in communities.items()}
+    missing = set(vid_of) - set(by_name)
+    if missing:
+        raise nx.NetworkXAlgorithmError(
+            f"No community information for node(s): {sorted(missing)[:5]}"
+        )
+    # only equality matters — encode arbitrary hashable community
+    # labels as dense ints so the DataFrame column is a fixed type
+    codes: dict = {}
+    for v in by_name.values():
+        codes.setdefault(v, len(codes))
+    return graph.spark.createDataFrame(
+        [(vid, codes[by_name[name]]) for name, vid in vid_of.items()],
+        "vid long, community long",
+    )
+
+
+def _community_linkpred_iter(
+    graph: LinkGraph, ebunch, communities: dict, field: str, delta: float = 0.001
+):
+    """Shared ebunch adapter for the Soundarajan–Hopcroft / WIC scores
+    (the community analog of _linkpred_iter). Pairs outside the wedge
+    support score 0 in all three measures (no common neighbors ⇒ no
+    count, no bonus, empty W). ``communities`` maps node name →
+    community (the interface layer extracts it from the nx node attr).
+    Fixture-scale guarded: the scores collect into a dict; the
+    distributed surface is operators.linkpred.link_prediction_community.
+    """
+    from .operators.linkpred import link_prediction_community as _lpc
+
+    if communities is None:
+        raise TypeError(
+            "communities= (dict of node name -> community) is required; the "
+            "nx backend wrapper extracts it from the graph's node attribute"
+        )
+    graph._guard_adapter("community link-prediction adapters")
+    cdf = _communities_df(graph, communities)
+    rows = _lpc(
+        graph, cdf, delta=delta, include_existing_edges=True
+    ).collect()
+    scores = {}
+    for r in rows:
+        u, v = r["u"], r["v"]
+        scores[(min(u, v), max(u, v))] = r
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    if ebunch is None:
+        import itertools
+
+        adj = set()
+        for r in graph.edges.select("src", "dst").collect():
+            a, b = r["src"], r["dst"]
+            adj.add((min(a, b), max(a, b)))
+        pairs = [
+            p for p in itertools.combinations(sorted(name_of), 2) if p not in adj
+        ]
+    else:
+        pairs = [(vid_of[str(u)], vid_of[str(v)]) for u, v in ebunch]
+    zero = 0 if field == "cn_sh" else 0.0
+    for a, b in pairs:
+        r = scores.get((min(a, b), max(a, b)))
+        yield (name_of[a], name_of[b], r[field] if r is not None else zero)
+
+
+def cn_soundarajan_hopcroft(graph: LinkGraph, ebunch=None, communities=None, **ignored):
+    """nx.cn_soundarajan_hopcroft: CN + same-community bonus (WWW'12)."""
+    return _community_linkpred_iter(graph, ebunch, communities, "cn_sh")
+
+
+def ra_index_soundarajan_hopcroft(
+    graph: LinkGraph, ebunch=None, communities=None, **ignored
+):
+    """nx.ra_index_soundarajan_hopcroft: RA over same-community common
+    neighbors only."""
+    return _community_linkpred_iter(graph, ebunch, communities, "ra_sh")
+
+
+def within_inter_cluster(
+    graph: LinkGraph, ebunch=None, delta=0.001, communities=None, **ignored
+):
+    """nx.within_inter_cluster: |W| / (|I| + delta) split of the common
+    neighbors by community (Valverde-Rebaza & Lopes SBIA'12)."""
+    import networkx as nx
+
+    if delta <= 0:
+        raise nx.NetworkXAlgorithmError("Delta must be greater than zero")
+    return _community_linkpred_iter(graph, ebunch, communities, "wic", delta=delta)
+
+
+def common_neighbor_centrality(graph: LinkGraph, ebunch=None, alpha=0.8, **ignored):
+    """nx.common_neighbor_centrality (CCPA): alpha·CN + (1-alpha)·N/d.
+
+    Pairs in the wedge support have d ∈ {1, 2} and come straight from
+    the distributed operator; pairs OUTSIDE it (no common neighbor)
+    need a genuine shortest-path distance, which this fixture-scale
+    adapter computes with a local BFS over the collected undirected
+    adjacency — the distributed surface for the canonical candidate
+    set (non-adjacent, ≥1 common neighbor, d=2 exactly) is
+    operators.linkpred.link_prediction_community's ccpa column."""
+    import networkx as nx
+
+    from .operators.linkpred import link_prediction as _lp
+
+    graph._guard_adapter("common_neighbor_centrality")
+    alpha = float(alpha)
+    rows = _lp(graph, min_common=1, include_existing_edges=True).collect()
+    common = {}
+    for r in rows:
+        u, v = r["u"], r["v"]
+        common[(min(u, v), max(u, v))] = r["common"]
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    n = len(name_of)
+    nbrs: dict[int, set] = {vid: set() for vid in name_of}
+    adj = set()
+    for r in graph.edges.select("src", "dst").collect():
+        a, b = r["src"], r["dst"]
+        if a == b:
+            continue
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+        adj.add((min(a, b), max(a, b)))
+    if ebunch is None:
+        import itertools
+
+        pairs = [
+            p for p in itertools.combinations(sorted(name_of), 2) if p not in adj
+        ]
+    else:
+        pairs = [(vid_of[str(u)], vid_of[str(v)]) for u, v in ebunch]
+
+    from collections import deque
+
+    dist_cache: dict[int, dict[int, int]] = {}
+
+    def _dist(a: int, b: int) -> float:
+        if a not in dist_cache:
+            d = {a: 0}
+            q = deque([a])
+            while q:
+                x = q.popleft()
+                for y in nbrs[x]:
+                    if y not in d:
+                        d[y] = d[x] + 1
+                        q.append(y)
+            dist_cache[a] = d
+        return float(dist_cache[a].get(b, float("inf")))
+
+    for a, b in pairs:
+        if a == b:
+            raise nx.NetworkXAlgorithmError("Self loops are not supported")
+        key = (min(a, b), max(a, b))
+        cn = common.get(key, 0)
+        if alpha == 1:
+            yield (name_of[a], name_of[b], cn)
+            continue
+        if key in adj:
+            d = 1.0
+        elif cn >= 1:
+            d = 2.0
+        else:
+            d = _dist(a, b)
+        yield (name_of[a], name_of[b], alpha * cn + (1 - alpha) * n / d)
+
+
 def betweenness_centrality(
     graph: LinkGraph,
     k: int | None = None,

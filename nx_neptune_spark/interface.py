@@ -127,6 +127,10 @@ ALGORITHMS = [
     "adamic_adar_index",
     "resource_allocation_index",
     "preferential_attachment",
+    "cn_soundarajan_hopcroft",
+    "ra_index_soundarajan_hopcroft",
+    "within_inter_cluster",
+    "common_neighbor_centrality",
     # round-5 link-graph extensions
     "clustering",
     "transitivity",
@@ -1337,6 +1341,54 @@ class BackendInterface:
     def preferential_attachment(G, ebunch=None, **kw):
         back = _back(G)
         for u, v, p in api.preferential_attachment(_lg(G), ebunch=ebunch, **kw):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def _node_communities(G, community: str) -> dict:
+        """Extract {name: community} from the nx node attribute the
+        Soundarajan–Hopcroft functions key on (missing nodes are left
+        out; api._communities_df raises nx's error for the gap)."""
+        return {
+            str(n): d[community]
+            for n, d in G.nodes(data=True)
+            if community in d
+        }
+
+    @staticmethod
+    def cn_soundarajan_hopcroft(G, ebunch=None, community="community", **kw):
+        back = _back(G)
+        coms = BackendInterface._node_communities(G, community)
+        for u, v, p in api.cn_soundarajan_hopcroft(
+            _lg(G), ebunch=ebunch, communities=coms, **kw
+        ):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def ra_index_soundarajan_hopcroft(G, ebunch=None, community="community", **kw):
+        back = _back(G)
+        coms = BackendInterface._node_communities(G, community)
+        for u, v, p in api.ra_index_soundarajan_hopcroft(
+            _lg(G), ebunch=ebunch, communities=coms, **kw
+        ):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def within_inter_cluster(
+        G, ebunch=None, delta=0.001, community="community", **kw
+    ):
+        back = _back(G)
+        coms = BackendInterface._node_communities(G, community)
+        for u, v, p in api.within_inter_cluster(
+            _lg(G), ebunch=ebunch, delta=delta, communities=coms, **kw
+        ):
+            yield (back[u], back[v], p)
+
+    @staticmethod
+    def common_neighbor_centrality(G, ebunch=None, alpha=0.8, **kw):
+        back = _back(G)
+        for u, v, p in api.common_neighbor_centrality(
+            _lg(G), ebunch=ebunch, alpha=alpha, **kw
+        ):
             yield (back[u], back[v], p)
 
 

@@ -289,3 +289,45 @@ def test_dag_reachability_dispatch(spark):
     assert nx.single_source_shortest_path_length(
         g, 0, cutoff=2, backend="spark"
     ) == nx.single_source_shortest_path_length(g, 0, cutoff=2)
+
+
+def test_community_linkpred_dispatch(spark):
+    """Soundarajan–Hopcroft / WIC / CCPA dispatch parity, incl. the
+    default all-non-edges ebunch, an explicit ebunch naming adjacent
+    pairs, string community labels, and the delta/alpha kwargs."""
+    g = two_triangles_bridge()
+    for i, n in enumerate(sorted(g.nodes)):
+        g.nodes[n]["community"] = "left" if i < 3 else "right"
+
+    def pairs(it):
+        return sorted((tuple(sorted((u, v))), round(p, 12)) for u, v, p in it)
+
+    assert pairs(nx.cn_soundarajan_hopcroft(g, backend="spark")) == pairs(
+        nx.cn_soundarajan_hopcroft(g)
+    )
+    assert pairs(nx.ra_index_soundarajan_hopcroft(g, backend="spark")) == pairs(
+        nx.ra_index_soundarajan_hopcroft(g)
+    )
+    assert pairs(nx.within_inter_cluster(g, delta=0.5, backend="spark")) == pairs(
+        nx.within_inter_cluster(g, delta=0.5)
+    )
+    eb = [("A", "B"), ("A", "E"), ("B", "F")]  # (A,B) is an existing edge
+    assert pairs(nx.cn_soundarajan_hopcroft(g, eb, backend="spark")) == pairs(
+        nx.cn_soundarajan_hopcroft(g, eb)
+    )
+    assert pairs(
+        nx.common_neighbor_centrality(g, alpha=0.7, backend="spark")
+    ) == pairs(nx.common_neighbor_centrality(g, alpha=0.7))
+    assert pairs(
+        nx.common_neighbor_centrality(g, eb, backend="spark")
+    ) == pairs(nx.common_neighbor_centrality(g, eb))
+    assert pairs(
+        nx.common_neighbor_centrality(g, eb, alpha=1, backend="spark")
+    ) == pairs(nx.common_neighbor_centrality(g, eb, alpha=1))
+
+
+def test_community_linkpred_missing_attr_raises(spark):
+    g = two_triangles_bridge()
+    g.nodes["A"]["community"] = 0  # others lack the attribute
+    with pytest.raises(nx.NetworkXAlgorithmError):
+        list(nx.cn_soundarajan_hopcroft(g, backend="spark"))
