@@ -105,6 +105,7 @@ MSF_N = 80
 MSF_SPLIT = 50
 MSF_MIX = 2654435761
 MSF_MOD = 4294967296
+BRDG_N = 90
 TOPK = 5
 N_QUERIES = 3
 
@@ -1884,6 +1885,89 @@ def q_min_spanning_forest(spark, sf_dir):
     )
 
 
+def _bridges_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Pinned 90-vertex bridge fixture: three 2-edge-connected blobs
+    (two chorded 20-cycles, one 16-cycle) joined by single connector
+    edges, a pendant path, a small tree, a path-plus-cycle component
+    and isolated vertices — every structural bridge case. Fixed size
+    at every sf so the oracle's per-edge-removal reachability closure
+    stays O(1) while the engine path exercises the full distributed
+    machinery (operators/bridges.py)."""
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("i"))
+        .where(F.col("i") < BRDG_N)
+    )
+    i = F.col("i")
+    pieces = [
+        ids.where(i < 20).select(i.alias("src"), ((i + 1) % 20).alias("dst")),
+        ids.where((i < 20) & (i % 3 == 0)).select(
+            i.alias("src"), ((i * i + 5) % 20).alias("dst")
+        ),
+        ids.where((i >= 20) & (i < 40)).select(
+            i.alias("src"), (F.lit(20) + (i - 20 + 1) % 20).alias("dst")
+        ),
+        ids.where((i >= 20) & (i < 40) & (i % 4 == 0)).select(
+            i.alias("src"), (F.lit(20) + (i * 7 + 3) % 20).alias("dst")
+        ),
+        ids.where((i >= 40) & (i < 56)).select(
+            i.alias("src"), (F.lit(40) + (i - 40 + 1) % 16).alias("dst")
+        ),
+        ids.where(i == 3).select(i.alias("src"), F.lit(23).alias("dst")),
+        ids.where(i == 27).select(i.alias("src"), F.lit(45).alias("dst")),
+        ids.where(i == 7).select(i.alias("src"), F.lit(60).alias("dst")),
+        ids.where((i >= 60) & (i < 69)).select(
+            i.alias("src"), (i + 1).alias("dst")
+        ),
+        ids.where(i == 50).select(i.alias("src"), F.lit(70).alias("dst")),
+        ids.where(i.isin(71, 72)).select(F.lit(70).alias("src"), i.alias("dst")),
+        ids.where(i == 73).select((i - 1).alias("src"), i.alias("dst")),
+        ids.where((i >= 80) & (i < 85)).select(
+            i.alias("src"), (i + 1).alias("dst")
+        ),
+        ids.where((i >= 85) & (i < 90)).select(
+            i.alias("src"), (F.lit(85) + (i - 85 + 1) % 5).alias("dst")
+        ),
+    ]
+    raw = pieces[0]
+    for p in pieces[1:]:
+        raw = raw.unionByName(p)
+    return LinkGraph(
+        raw.select(F.col("src").cast("long"), F.col("dst").cast("long")),
+        ids.select(F.col("i").cast("long").alias("vid")),
+        directed=False,
+        vids_non_negative=True,
+    )
+
+
+def q_bridges(spark, sf_dir):
+    """Exact bridges of the pinned fixture (operators/bridges.py:
+    XOR-covered spanning forest + CC-verified finisher). The oracle
+    (_bridges_sql) is STRUCTURE-FREE: an edge is a bridge iff its far
+    endpoint is unreachable once the edge is removed — one recursive
+    (edge, node) reachability closure, no engine rounds to unroll."""
+    from nx_neptune_spark.operators.bridges import bridges
+
+    g = _bridges_graph(spark, sf_dir)
+    return bridges(g).select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
+    )
+
+
+def q_two_edge_components(spark, sf_dir):
+    """2-edge-connected components of the same fixture — connected
+    components of the graph minus its bridges, labeled by class
+    minimum (operators/bridges.py). Oracle: min-reachable closure over
+    the oracle-derived non-bridge edge set."""
+    from nx_neptune_spark.operators.bridges import two_edge_components
+
+    g = _bridges_graph(spark, sf_dir)
+    return two_edge_components(g).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted single-source shortest paths from vid 0 (frontier
     Bellman-Ford, operators/sssp.py) with deterministic integer-valued
@@ -2020,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "k_truss": q_k_truss,
         "min_spanning_forest": q_min_spanning_forest,
+        "bridges": q_bridges,
+        "two_edge_components": q_two_edge_components,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2355,6 +2441,91 @@ FROM we e
 WHERE NOT EXISTS (
   SELECT 1 FROM walk WHERE walk.a = e.u AND walk.b = e.v AND walk.m < e.w
 )"""
+
+
+_BRDG_RAW_SQL = """
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {n}),
+raw AS (
+  SELECT i AS src, (i + 1) % 20 AS dst FROM ids WHERE i < 20
+  UNION ALL SELECT i, (i*i + 5) % 20 FROM ids WHERE i < 20 AND i % 3 = 0
+  UNION ALL SELECT i, 20 + ((i - 20 + 1) % 20) FROM ids
+    WHERE i >= 20 AND i < 40
+  UNION ALL SELECT i, 20 + ((i*7 + 3) % 20) FROM ids
+    WHERE i >= 20 AND i < 40 AND i % 4 = 0
+  UNION ALL SELECT i, 40 + ((i - 40 + 1) % 16) FROM ids
+    WHERE i >= 40 AND i < 56
+  UNION ALL SELECT i, 23 FROM ids WHERE i = 3
+  UNION ALL SELECT i, 45 FROM ids WHERE i = 27
+  UNION ALL SELECT i, 60 FROM ids WHERE i = 7
+  UNION ALL SELECT i, i + 1 FROM ids WHERE i >= 60 AND i < 69
+  UNION ALL SELECT i, 70 FROM ids WHERE i = 50
+  UNION ALL SELECT 70, i FROM ids WHERE i IN (71, 72)
+  UNION ALL SELECT i - 1, i FROM ids WHERE i = 73
+  UNION ALL SELECT i, i + 1 FROM ids WHERE i >= 80 AND i < 85
+  UNION ALL SELECT i, 85 + ((i - 85 + 1) % 5) FROM ids
+    WHERE i >= 85 AND i < 90
+),
+ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+ue AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce
+),
+reach AS (
+  SELECT u AS eu, v AS ev, u AS node FROM ce
+  UNION
+  SELECT r.eu, r.ev, ue.b
+  FROM reach r JOIN ue ON ue.a = r.node
+  WHERE NOT (least(ue.a, ue.b) = r.eu AND greatest(ue.a, ue.b) = r.ev)
+),
+br AS MATERIALIZED (
+  SELECT e.u, e.v FROM ce e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach r
+    WHERE r.eu = e.u AND r.ev = e.v AND r.node = e.v)
+)"""
+
+
+def _bridges_sql() -> str:
+    """Structure-free bridge oracle (operators/bridges.py): an edge is
+    a bridge iff its far endpoint is unreachable from the near one once
+    the edge itself is removed — one recursive (edge, node) closure
+    whose domain is |E| x |V| on the pinned BRDG_N=90 fixture, so
+    it is O(1) at every sf and shares zero algorithm structure with the
+    engine's XOR-coverage + CC-verification pipeline."""
+    return (
+        "WITH RECURSIVE "
+        + _BRDG_RAW_SQL.format(n=BRDG_N)
+        + """
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM br"""
+    )
+
+
+def _two_edge_components_sql() -> str:
+    """2ecc oracle: drop the oracle-derived bridges, then label every
+    vertex with its minimum reachable vid over the remaining edges
+    (second recursive closure, domain |V| x |V| on the pinned fixture).
+    Matches the engine's min-vid CC labels by construction."""
+    return (
+        "WITH RECURSIVE "
+        + _BRDG_RAW_SQL.format(n=BRDG_N)
+        + """,
+ne AS MATERIALIZED (
+  SELECT u, v FROM ce e
+  WHERE NOT EXISTS (SELECT 1 FROM br WHERE br.u = e.u AND br.v = e.v)
+),
+une AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM ne UNION ALL SELECT v, u FROM ne
+),
+cl AS (
+  SELECT i AS a, i AS b FROM ids
+  UNION
+  SELECT cl.a, une.b FROM cl JOIN une ON une.a = cl.b
+)
+SELECT CAST(a AS BIGINT) AS vid, CAST(MIN(b) AS BIGINT) AS component
+FROM cl GROUP BY a"""
+    )
 
 
 def _sssp_sql(rounds: int = None) -> str:
@@ -4391,6 +4562,8 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": _kcore_sql(),
         "k_truss": _ktruss_sql(),
         "min_spanning_forest": _msf_sql(),
+        "bridges": _bridges_sql(),
+        "two_edge_components": _two_edge_components_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

@@ -1919,3 +1919,51 @@ def minimum_spanning_edge_list(
     return sorted(
         (name_of[r["src"]], name_of[r["dst"]]) for r in rows
     )
+
+
+def bridge_list(graph: LinkGraph) -> list:
+    """Bridges as sorted (u_name, v_name) canonical pairs
+    (operators/bridges.py: XOR-covered spanning forest + CC-verified
+    finisher, exact)."""
+    from .operators.bridges import bridges as _br
+
+    graph._guard_adapter("bridge adapters")
+    name_of = graph.name_of()
+    return sorted(
+        (name_of[r["u"]], name_of[r["v"]]) for r in _br(graph).collect()
+    )
+
+
+def has_bridges(graph: LinkGraph) -> bool:
+    from .operators.bridges import has_bridges as _hb
+
+    graph._guard_adapter("bridge adapters")
+    return _hb(graph)
+
+
+def two_edge_component_sets(graph: LinkGraph) -> list:
+    """2-edge-connected classes as a list of name sets
+    (nx.k_edge_components(G, 2) parity)."""
+    from .operators.bridges import two_edge_components as _tecc
+
+    graph._guard_adapter("bridge adapters")
+    name_of = graph.name_of()
+    comps: dict = {}
+    for r in _tecc(graph).collect():
+        comps.setdefault(r["component"], set()).add(name_of[r["vid"]])
+    return list(comps.values())
+
+
+def local_bridge_list(graph: LinkGraph, with_span: bool = True) -> list:
+    """Local bridges as (u_name, v_name) pairs; with spans when asked
+    (None span -> the caller maps to float('inf'), nx parity)."""
+    from .operators.bridges import local_bridges as _lb
+
+    graph._guard_adapter("bridge adapters")
+    name_of = graph.name_of()
+    rows = _lb(graph, with_span=with_span).collect()
+    if with_span:
+        return sorted(
+            (name_of[r["u"]], name_of[r["v"]], r["span"]) for r in rows
+        )
+    return sorted((name_of[r["u"]], name_of[r["v"]]) for r in rows)

@@ -157,6 +157,10 @@ ALGORITHMS = [
     "intersection",
     "difference",
     "symmetric_difference",
+    "bridges",
+    "has_bridges",
+    "local_bridges",
+    "k_edge_components",
 ]
 
 
@@ -1390,6 +1394,83 @@ class BackendInterface:
             _lg(G), ebunch=ebunch, alpha=alpha, **kw
         ):
             yield (back[u], back[v], p)
+
+    @staticmethod
+    def _bridge_scope(G, root):
+        """nx's ``root`` contract: restrict to root's component
+        (NodeNotFound if absent). Undirected-only, like nx.bridges."""
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "bridges is not implemented for directed graphs"
+            )
+        if root is None:
+            return G
+        if root not in G:
+            raise nx.NodeNotFound(f"node {root} not in G")
+        return G.subgraph(nx.node_connected_component(G, root))
+
+    @staticmethod
+    def bridges(G, root=None, **kw):
+        back = _back(G)
+        H = BackendInterface._bridge_scope(G, root)
+        for a, b in api.bridge_list(_lg(H)):
+            yield (back[a], back[b])
+
+    @staticmethod
+    def has_bridges(G, root=None, **kw):
+        H = BackendInterface._bridge_scope(G, root)
+        return api.has_bridges(_lg(H))
+
+    @staticmethod
+    def local_bridges(G, with_span=True, weight=None, **kw):
+        import math
+
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "local_bridges is not implemented for directed graphs"
+            )
+        if weight is not None:
+            raise nx.NetworkXNotImplemented(
+                "weighted local-bridge spans are not implemented by the "
+                "spark backend"
+            )
+        back = _back(G)
+        if not with_span:
+            for a, b in api.local_bridge_list(_lg(G), with_span=False):
+                yield (back[a], back[b])
+            return
+        for a, b, s in api.local_bridge_list(_lg(G), with_span=True):
+            yield (back[a], back[b], math.inf if s is None else s)
+
+    @staticmethod
+    def k_edge_components(G, k, **kw):
+        # k=1 -> connected components; k=2 -> components minus bridges
+        # (operators/bridges.py). k>=3 needs Karger-style cut machinery
+        # the backend doesn't carry.
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "k_edge_components is not implemented for directed graphs"
+            )
+        if k < 1:
+            raise ValueError("k cannot be less than 1")
+        back = _back(G)
+        if k == 1:
+            for comp in api.connected_components(_lg(G)):
+                yield {back[n] for n in comp}
+            return
+        if k > 2:
+            raise nx.NetworkXNotImplemented(
+                "k_edge_components with k>2 is not implemented by the "
+                "spark backend"
+            )
+        for comp in api.two_edge_component_sets(_lg(G)):
+            yield {back[n] for n in comp}
 
 
 def get_info() -> dict:

@@ -94,3 +94,10 @@ from .walks import (  # noqa: F401
     random_walks,
     walk_sentences,
 )
+from .bridges import (  # noqa: F401
+    bridges,
+    bridges_and_components,
+    has_bridges,
+    local_bridges,
+    two_edge_components,
+)

@@ -331,3 +331,42 @@ def test_community_linkpred_missing_attr_raises(spark):
     g.nodes["A"]["community"] = 0  # others lack the attribute
     with pytest.raises(nx.NetworkXAlgorithmError):
         list(nx.cn_soundarajan_hopcroft(g, backend="spark"))
+
+
+def test_bridges_dispatch(spark):
+    g = two_triangles_bridge()
+    got = {frozenset(e) for e in nx.bridges(g, backend="spark")}
+    want = {frozenset(e) for e in nx.bridges(g)}
+    assert got == want == {frozenset(("C", "D"))}
+    assert nx.has_bridges(g, backend="spark") is True
+    assert nx.has_bridges(nx.cycle_graph(5), backend="spark") is False
+    # root scoping: bridges of root's component only; NodeNotFound else
+    h = nx.disjoint_union(nx.cycle_graph(4), nx.path_graph(3))
+    got_r = {frozenset(e) for e in nx.bridges(h, root=4, backend="spark")}
+    want_r = {frozenset(e) for e in nx.bridges(h, root=4)}
+    assert got_r == want_r
+    with pytest.raises(nx.NodeNotFound):
+        list(nx.bridges(h, root=99, backend="spark"))
+
+
+def test_local_bridges_dispatch(spark):
+    g = nx.cycle_graph(6)
+    got = sorted((min(u, v), max(u, v), s) for u, v, s in nx.local_bridges(g, backend="spark"))
+    want = sorted((min(u, v), max(u, v), s) for u, v, s in nx.local_bridges(g))
+    assert got == want
+    g2 = two_triangles_bridge()
+    got2 = {frozenset((u, v)) for u, v, _ in nx.local_bridges(g2, backend="spark")}
+    want2 = {frozenset((u, v)) for u, v, _ in nx.local_bridges(g2)}
+    assert got2 == want2
+
+
+def test_k_edge_components_dispatch(spark):
+    g = nx.barbell_graph(4, 2)
+    got = {frozenset(c) for c in nx.k_edge_components(g, k=2, backend="spark")}
+    want = {frozenset(c) for c in nx.k_edge_components(g, k=2)}
+    assert got == want
+    got1 = {frozenset(c) for c in nx.k_edge_components(g, k=1, backend="spark")}
+    want1 = {frozenset(c) for c in nx.k_edge_components(g, k=1)}
+    assert got1 == want1
+    with pytest.raises(ValueError):
+        list(nx.k_edge_components(g, k=0, backend="spark"))
