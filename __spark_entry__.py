@@ -1527,6 +1527,42 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1 subset;
+    functions/text.py): duplicate-line fractions, top 2/3-gram char
+    coverage, duplicate 5-gram coverage and the combined pass gate —
+    pure Catalyst higher-order array expressions. The fixture
+    duplicates every third document's text as a second line so the
+    line-level metrics are exercised. Oracle: the identical
+    definitions computed RELATIONALLY in DuckDB (unnest + group-by +
+    window), sharing no expression structure with the engine."""
+    from nx_neptune_spark.functions.text import (
+        dup_line_char_frac,
+        dup_line_frac,
+        dup_ngram_char_frac,
+        gopher_repetition_pass,
+        top_ngram_char_frac,
+    )
+
+    t = F.when(
+        F.col("doc_id") % 3 == 0, F.concat_ws("\n", "text", "text")
+    ).otherwise(F.col("text"))
+    d = _docs(spark, sf_dir).select("doc_id", t.alias("t"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.coalesce(dup_line_frac(F.col("t")), F.lit(0.0)), 8).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            F.coalesce(dup_line_char_frac(F.col("t")), F.lit(0.0)), 8
+        ).alias("dup_line_char_frac"),
+        F.round(top_ngram_char_frac(F.col("t"), 2), 8).alias("top2_char_frac"),
+        F.round(top_ngram_char_frac(F.col("t"), 3), 8).alias("top3_char_frac"),
+        F.round(dup_ngram_char_frac(F.col("t"), 5), 8).alias("dup5_char_frac"),
+        gopher_repetition_pass(F.col("t")).alias("gopher_pass"),
+    )
+
+
 def q_quality_language(spark, sf_dir):
     from nx_neptune_spark.functions.text import language_id, quality_score
 
@@ -2177,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash60": q_simhash60,
         "simhash60_pairs": q_simhash60_pairs,
         "token_stats": q_token_stats,
+        "gopher_quality": q_gopher_quality,
         "quality_language": q_quality_language,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
@@ -2525,6 +2562,91 @@ cl AS (
 )
 SELECT CAST(a AS BIGINT) AS vid, CAST(MIN(b) AS BIGINT) AS component
 FROM cl GROUP BY a"""
+    )
+
+
+def _gopher_sql() -> str:
+    """Gopher repetition-filter oracle (functions/text.py definitions)
+    computed RELATIONALLY — unnest + group-by + window instead of the
+    engine's higher-order array expressions, so the two share no
+    expression structure. Tie-break for the top n-gram mirrors the
+    engine's struct max: (count, char length, gram) descending."""
+
+    def topn(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - {n} + 2),
+         i -> array_to_string(list_slice(ws, i, i + {n} - 1), ' '))) AS g
+  FROM toks WHERE len(ws) >= {n}),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g)"""
+
+    return (
+        """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              ELSE text END AS t
+  FROM documents
+),
+lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM docs),
+lstat AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT line) AS nd,
+         sum(length(line)) AS lc
+  FROM lines GROUP BY doc_id),
+dstat AS (
+  SELECT doc_id, sum(length(line)) AS dlc
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY doc_id),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS ws
+  FROM docs),
+tot AS (
+  SELECT doc_id, length(array_to_string(ws, ' ')) AS tc, len(ws) AS nw
+  FROM toks),"""
+        + topn(2)
+        + ","
+        + topn(3)
+        + ","
+        + topn(5)
+        + """,
+top2 AS (SELECT doc_id, c * length(g) AS cov FROM (
+  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+    ORDER BY c DESC, length(g) DESC, g DESC) AS rn FROM c2) WHERE rn = 1),
+top3 AS (SELECT doc_id, c * length(g) AS cov FROM (
+  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+    ORDER BY c DESC, length(g) DESC, g DESC) AS rn FROM c3) WHERE rn = 1),
+dup5 AS (SELECT doc_id, sum(c * length(g)) AS cov FROM c5
+  WHERE c >= 2 GROUP BY doc_id),
+vals AS (
+  SELECT d.doc_id,
+    (l.n - l.nd) / CAST(l.n AS DOUBLE) AS dlf,
+    COALESCE((l.lc - ds.dlc) / NULLIF(CAST(l.lc AS DOUBLE), 0), 0.0) AS dlcf,
+    CASE WHEN tt.nw >= 2
+         THEN LEAST(t2.cov / NULLIF(CAST(tt.tc AS DOUBLE), 0), 1.0)
+         ELSE 0.0 END AS top2,
+    CASE WHEN tt.nw >= 3
+         THEN LEAST(t3.cov / NULLIF(CAST(tt.tc AS DOUBLE), 0), 1.0)
+         ELSE 0.0 END AS top3,
+    CASE WHEN tt.nw >= 5
+         THEN LEAST(COALESCE(d5.cov, 0) / NULLIF(CAST(tt.tc AS DOUBLE), 0), 1.0)
+         ELSE 0.0 END AS dup5
+  FROM docs d
+  JOIN lstat l USING (doc_id)
+  JOIN dstat ds USING (doc_id)
+  JOIN tot tt USING (doc_id)
+  LEFT JOIN top2 t2 USING (doc_id)
+  LEFT JOIN top3 t3 USING (doc_id)
+  LEFT JOIN dup5 d5 USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  ROUND(dlf, 8) AS dup_line_frac,
+  ROUND(dlcf, 8) AS dup_line_char_frac,
+  ROUND(top2, 8) AS top2_char_frac,
+  ROUND(top3, 8) AS top3_char_frac,
+  ROUND(dup5, 8) AS dup5_char_frac,
+  (dlf <= 0.30 AND dlcf <= 0.20 AND top2 <= 0.20 AND top3 <= 0.18
+   AND dup5 <= 0.15) AS gopher_pass
+FROM vals"""
     )
 
 
@@ -4669,6 +4791,7 @@ def oracle_sql() -> dict[str, str]:
             f" len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,"
             " length(text) AS n_chars_actual FROM documents"
         ),
+        "gopher_quality": _gopher_sql(),
         "quality_language": _quality_sql(),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp,"

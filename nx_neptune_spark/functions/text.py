@@ -114,3 +114,117 @@ def shape_fingerprint(text: Column) -> Column:
     duplication (the 'rolling/shape' fingerprint for near-dup keys)."""
     toks = F.array_distinct(F.array_sort(F.split(F.lower(F.trim(text)), r"\s+")))
     return F.md5(F.array_join(toks, " "))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, Table A1; the
+# Dolma / RedPajama reproduction conventions). All pure Catalyst
+# higher-order array expressions — zero Python, whole-stage codegen —
+# so they run at full scan speed per document. The per-document cost
+# of the n-gram statistics is O(L^2) in the (capped) token count, the
+# same budget every reproduction pays; `max_tokens` bounds it.
+#
+# Definitions (documented here because reproductions differ):
+#   * lines = split on '\n' (empties kept);
+#     dup_line_frac      = (n_lines - n_distinct_lines) / n_lines
+#     dup_line_char_frac = excess duplicate-line chars / total line chars
+#   * words = whitespace-split non-empty tokens, capped at max_tokens;
+#     content chars      = length of the single-space re-join
+#   * word n-grams keep internal spaces in their char length;
+#     top_ngram_char_frac = count(top) * len(top) / content_chars where
+#       "top" maximizes (count, len, ngram) lexicographically
+#     dup_ngram_char_frac = sum over ngrams with count >= 2 of
+#       count * len / content_chars
+#     both capped at 1.0 (overlap-insensitive approximation).
+# ---------------------------------------------------------------------------
+
+
+def _gopher_words(text: Column, max_tokens: int) -> Column:
+    ws = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    return F.slice(ws, 1, max_tokens)
+
+
+def _ngrams(ws: Column, n: int) -> Column:
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - n + 1),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngram_counts(ws: Column, n: int) -> Column:
+    """array<struct<c,l,g>>: per DISTINCT n-gram its count, char
+    length (spaces included) and the gram itself."""
+    g = _ngrams(ws, n)
+    return F.transform(
+        F.array_distinct(g),
+        lambda x: F.struct(
+            F.size(F.filter(g, lambda y: y == x)).alias("c"),
+            F.length(x).alias("l"),
+            x.alias("g"),
+        ),
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return (n - F.size(F.array_distinct(lines))) / F.nullif(n.cast("double"), F.lit(0.0))
+
+
+def dup_line_char_frac(text: Column) -> Column:
+    lines = F.split(text, "\n")
+    tot = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dis = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return (tot - dis) / F.nullif(tot.cast("double"), F.lit(0.0))
+
+
+def top_ngram_char_frac(text: Column, n: int, max_tokens: int = 2048) -> Column:
+    ws = _gopher_words(text, max_tokens)
+    counts = _ngram_counts(ws, n)
+    top = F.array_max(counts)  # struct order: (count, len, gram)
+    tot = F.length(F.array_join(ws, " "))
+    frac = (top["c"] * top["l"]) / F.nullif(tot.cast("double"), F.lit(0.0))
+    return F.when(F.size(counts) > 0, F.least(frac, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_ngram_char_frac(text: Column, n: int, max_tokens: int = 2048) -> Column:
+    ws = _gopher_words(text, max_tokens)
+    counts = _ngram_counts(ws, n)
+    cov = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["c"] >= 2, s["c"] * s["l"]).otherwise(F.lit(0)),
+    )
+    tot = F.length(F.array_join(ws, " "))
+    frac = cov / F.nullif(tot.cast("double"), F.lit(0.0))
+    return F.when(F.size(counts) > 0, F.least(frac, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def gopher_repetition_pass(
+    text: Column, max_tokens: int = 2048
+) -> Column:
+    """Boolean: document clears the Gopher repetition gates (the
+    Table A1 subset this module computes): dup_line_frac <= 0.30,
+    dup_line_char_frac <= 0.20, top 2-gram <= 0.20, top 3-gram <=
+    0.18, dup 5-gram <= 0.15."""
+    return (
+        (F.coalesce(dup_line_frac(text), F.lit(0.0)) <= 0.30)
+        & (F.coalesce(dup_line_char_frac(text), F.lit(0.0)) <= 0.20)
+        & (top_ngram_char_frac(text, 2, max_tokens) <= 0.20)
+        & (top_ngram_char_frac(text, 3, max_tokens) <= 0.18)
+        & (dup_ngram_char_frac(text, 5, max_tokens) <= 0.15)
+    )
