@@ -106,6 +106,7 @@ MSF_SPLIT = 50
 MSF_MIX = 2654435761
 MSF_MOD = 4294967296
 BRDG_N = 90
+ONION_ORACLE_ROUNDS = 16
 TOPK = 5
 N_QUERIES = 3
 
@@ -2004,6 +2005,23 @@ def q_two_edge_components(spark, sf_dir):
     )
 
 
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (operators/onion.py, Hebert-Dufresne 2016;
+    nx.onion_layers parity) on the pinned bridge fixture — its mix of
+    chorded cycles, pendant paths and isolated vertices exercises the
+    isolate special case and a 13-round peel sequence. The oracle
+    unrolls ONION_ORACLE_ROUNDS bulk-peel rounds (measured fixpoint:
+    13 at every sf — the fixture is pinned; post-fixpoint rounds peel
+    an empty set)."""
+    from nx_neptune_spark.operators.onion import onion_layers
+
+    g = _bridges_graph(spark, sf_dir)
+    return onion_layers(g).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("layer").cast("long").alias("layer"),
+    )
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted single-source shortest paths from vid 0 (frontier
     Bellman-Ford, operators/sssp.py) with deterministic integer-valued
@@ -2142,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_spanning_forest": q_min_spanning_forest,
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
+        "onion_layers": q_onion_layers,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2505,7 +2524,9 @@ raw AS (
 ce AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
   FROM raw WHERE src <> dst
-),
+)"""
+
+_BRDG_BRIDGE_SQL = """,
 ue AS MATERIALIZED (
   SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce
 ),
@@ -2534,6 +2555,7 @@ def _bridges_sql() -> str:
     return (
         "WITH RECURSIVE "
         + _BRDG_RAW_SQL.format(n=BRDG_N)
+        + _BRDG_BRIDGE_SQL
         + """
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM br"""
     )
@@ -2547,6 +2569,7 @@ def _two_edge_components_sql() -> str:
     return (
         "WITH RECURSIVE "
         + _BRDG_RAW_SQL.format(n=BRDG_N)
+        + _BRDG_BRIDGE_SQL
         + """,
 ne AS MATERIALIZED (
   SELECT u, v FROM ce e
@@ -2563,6 +2586,57 @@ cl AS (
 SELECT CAST(a AS BIGINT) AS vid, CAST(MIN(b) AS BIGINT) AS component
 FROM cl GROUP BY a"""
     )
+
+
+def _onion_sql(rounds: int = None) -> str:
+    """Unrolled bulk-peel onion oracle (operators/onion.py): initially
+    isolated vertices are layer 1 (the fixture always has them, so the
+    peel-round layer offset is a constant +1); per round the threshold
+    is greatest(previous, min remaining degree) and every vertex at or
+    below it peels as one layer. Rounds past the measured fixpoint
+    (13 on the pinned fixture) peel an empty set."""
+    k_n = rounds if rounds is not None else ONION_ORACLE_ROUNDS
+    parts = [
+        "WITH " + _BRDG_RAW_SQL.format(n=BRDG_N).strip(),
+        """,
+iso AS MATERIALIZED (
+  SELECT i AS vid FROM ids
+  WHERE i NOT IN (SELECT u FROM ce UNION SELECT v FROM ce)),
+r0 AS MATERIALIZED (
+  SELECT i AS vid FROM ids WHERE i NOT IN (SELECT vid FROM iso)),
+e0 AS MATERIALIZED (SELECT u, v FROM ce),
+core0 AS (SELECT 1 AS core)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT r.vid, coalesce(d.c, 0) AS deg
+  FROM r{k - 1} r LEFT JOIN (
+    SELECT vid, count(*) AS c FROM (
+      SELECT u AS vid FROM e{k - 1}
+      UNION ALL SELECT v FROM e{k - 1}) z GROUP BY vid) d
+  ON d.vid = r.vid),
+core{k} AS MATERIALIZED (
+  SELECT greatest(p.core,
+                  coalesce((SELECT min(deg) FROM d{k}), p.core)) AS core
+  FROM core{k - 1} p),
+p{k} AS MATERIALIZED (
+  SELECT vid FROM d{k}, core{k} WHERE deg <= core),
+r{k} AS MATERIALIZED (
+  SELECT vid FROM r{k - 1} WHERE vid NOT IN (SELECT vid FROM p{k})),
+e{k} AS MATERIALIZED (
+  SELECT u, v FROM e{k - 1}
+  WHERE u IN (SELECT vid FROM r{k}) AND v IN (SELECT vid FROM r{k}))"""
+        )
+    selects = [
+        "SELECT CAST(vid AS BIGINT) AS vid, CAST(1 AS BIGINT) AS layer FROM iso"
+    ] + [
+        f"SELECT CAST(vid AS BIGINT), CAST({k + 1} AS BIGINT) FROM p{k}"
+        for k in range(1, k_n + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
 
 
 def _gopher_sql() -> str:
@@ -4686,6 +4760,7 @@ def oracle_sql() -> dict[str, str]:
         "min_spanning_forest": _msf_sql(),
         "bridges": _bridges_sql(),
         "two_edge_components": _two_edge_components_sql(),
+        "onion_layers": _onion_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

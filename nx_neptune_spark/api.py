@@ -1967,3 +1967,15 @@ def local_bridge_list(graph: LinkGraph, with_span: bool = True) -> list:
             (name_of[r["u"]], name_of[r["v"]], r["span"]) for r in rows
         )
     return sorted((name_of[r["u"]], name_of[r["v"]]) for r in rows)
+
+
+def onion_layer_dict(graph: LinkGraph) -> dict:
+    """nx.onion_layers-shaped {name: layer} dict
+    (operators/onion.py bulk peeling)."""
+    from .operators.onion import onion_layers as _ol
+
+    graph._guard_adapter("onion adapters")
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: int(r["layer"]) for r in _ol(graph).collect()
+    }

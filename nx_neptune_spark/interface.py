@@ -161,6 +161,7 @@ ALGORITHMS = [
     "has_bridges",
     "local_bridges",
     "k_edge_components",
+    "onion_layers",
 ]
 
 
@@ -1471,6 +1472,21 @@ class BackendInterface:
             )
         for comp in api.two_edge_component_sets(_lg(G)):
             yield {back[n] for n in comp}
+
+    @staticmethod
+    def onion_layers(G, **kw):
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "onion_layers is not implemented for directed graphs"
+            )
+        if G.is_multigraph():
+            raise nx.NetworkXNotImplemented(
+                "onion_layers is not implemented for multigraphs"
+            )
+        back = _back(G)
+        return {back[n]: l for n, l in api.onion_layer_dict(_lg(G)).items()}
 
 
 def get_info() -> dict:

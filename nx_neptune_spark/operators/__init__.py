@@ -101,3 +101,4 @@ from .bridges import (  # noqa: F401
     local_bridges,
     two_edge_components,
 )
+from .onion import onion_layers  # noqa: F401

@@ -370,3 +370,13 @@ def test_k_edge_components_dispatch(spark):
     assert got1 == want1
     with pytest.raises(ValueError):
         list(nx.k_edge_components(g, k=0, backend="spark"))
+
+
+def test_onion_layers_dispatch(spark):
+    g = two_triangles_bridge()
+    g.add_node("ISO")
+    got = nx.onion_layers(g, backend="spark")
+    want = nx.onion_layers(g)
+    assert got == want
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.onion_layers(nx.DiGraph([(1, 2)]), backend="spark")
