@@ -2101,6 +2101,23 @@ def q_betweenness(spark, sf_dir):
     return res.select("vid", F.round("betweenness", 8).alias("betweenness"))
 
 
+def q_percolation(spark, sf_dir):
+    """Pivot-sampled percolation centrality from sources (0, 7, 23) on
+    the directed pr-graph (operators/percolation.py, Piraveenan 2013):
+    Brandes dependencies weighted by x_s/(Σx − x_w), scaled by
+    1/(n−2); states x(v) = ((v·13+5) mod 11)/10 are deterministic
+    integer arithmetic both engines reproduce exactly. The oracle adds
+    the state-weight joins to the unrolled Brandes level CTEs."""
+    from nx_neptune_spark.operators.percolation import percolation_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    states = g.vertices.select(
+        "vid", (((F.col("vid") * 13 + 5) % 11) / 10.0).alias("x")
+    )
+    res = percolation_centrality(g, states, sources=list(BETW_SOURCES))
+    return res.select("vid", F.round("percolation", 8).alias("percolation"))
+
+
 def q_edge_betweenness(spark, sf_dir):
     """Pivot-sampled Brandes EDGE betweenness from sources (0, 7, 23)
     on the directed pr-graph (operators/betweenness.py), unnormalized —
@@ -2166,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_community": q_link_prediction_community,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
+        "percolation": q_percolation,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -2799,6 +2817,67 @@ acc AS ({acc}),
 bc AS (SELECT v AS vid, sum(delta) AS b FROM acc GROUP BY v)
 SELECT i AS vid, round(coalesce(b, 0.0), 8) AS betweenness
 FROM ids LEFT JOIN bc ON bc.vid = i"""
+    )
+    return "".join(parts)
+
+
+def _percolation_sql(depth: int = None) -> str:
+    """Unrolled percolation oracle (operators/percolation.py): the
+    _betweenness_sql forward/backward level CTEs with the source key
+    kept through accumulation, then two joins against the
+    deterministic state table x(v) = ((v*13+5) mod 11)/10 apply
+    x_s/(Σx − x_w) per (s, w) pair; final scale 1/(n−2)."""
+    k_n = depth if depth is not None else BETW_ORACLE_DEPTH
+    srcs = ", ".join(f"({s})" for s in BETW_SOURCES)
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        f""",
+src AS (SELECT * FROM (VALUES {srcs}) AS t(s)),
+f0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM src),
+fa0 AS (SELECT s, v FROM f0)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+  FROM f{k - 1} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM fa{k - 1} a WHERE a.s = f.s AND a.v = e.dst)
+  GROUP BY f.s, e.dst),
+fa{k} AS MATERIALIZED (SELECT s, v FROM fa{k - 1} UNION ALL SELECT s, v FROM f{k})"""
+        )
+    parts.append(
+        f""",
+d{k_n} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM f{k_n} WHERE 1 = 0)"""
+    )
+    for lvl in range(k_n - 1, -1, -1):
+        parts.append(
+            f""",
+d{lvl} AS MATERIALIZED (
+  SELECT c.s, c.v, sum(c.sigma / u.sigma * (1.0 + coalesce(du.delta, 0.0))) AS delta
+  FROM f{lvl} c JOIN edges e ON e.src = c.v
+  JOIN f{lvl + 1} u ON u.s = c.s AND u.v = e.dst
+  LEFT JOIN d{lvl + 1} du ON du.s = c.s AND du.v = u.v
+  GROUP BY c.s, c.v)"""
+        )
+    acc = "\nUNION ALL ".join(
+        f"SELECT s, v, delta FROM d{lvl} WHERE v <> s" for lvl in range(k_n)
+    )
+    parts.append(
+        f""",
+acc AS ({acc}),
+x AS (SELECT i AS vid, ((i*13 + 5) % 11) / 10.0 AS x FROM ids),
+tot AS (SELECT sum(x) AS t FROM x),
+nn AS (SELECT count(*) AS n FROM ids),
+pc AS (
+  SELECT acc.v AS vid,
+         sum(acc.delta * xs.x / (tot.t - xw.x)) AS p
+  FROM acc
+  JOIN x xs ON xs.vid = acc.s
+  JOIN x xw ON xw.vid = acc.v, tot
+  GROUP BY acc.v)
+SELECT i AS vid, round(coalesce(p, 0.0) / (nn.n - 2), 8) AS percolation
+FROM ids LEFT JOIN pc ON pc.vid = i, nn"""
     )
     return "".join(parts)
 
@@ -4766,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_community": _linkpred_community_sql(),
         "betweenness": _betweenness_sql(),
         "edge_betweenness": _edge_betweenness_sql(),
+        "percolation": _percolation_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

@@ -1979,3 +1979,22 @@ def onion_layer_dict(graph: LinkGraph) -> dict:
     return {
         name_of[r["vid"]]: int(r["layer"]) for r in _ol(graph).collect()
     }
+
+
+def percolation_centrality_dict(
+    graph: LinkGraph, states: dict, weight=None, **ignored
+) -> dict:
+    """nx.percolation_centrality-shaped {name: value} dict
+    (operators/percolation.py; states keyed by vertex NAME)."""
+    from .operators.percolation import percolation_centrality as _pc
+
+    graph._guard_adapter("percolation adapters")
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    sdf = graph.spark.createDataFrame(
+        [(vid_of[k], float(v)) for k, v in states.items()],
+        "vid long, x double",
+    )
+    return {
+        name_of[r["vid"]]: float(r["percolation"])
+        for r in _pc(graph, sdf, weight=weight).collect()
+    }

@@ -162,6 +162,7 @@ ALGORITHMS = [
     "local_bridges",
     "k_edge_components",
     "onion_layers",
+    "percolation_centrality",
 ]
 
 
@@ -1487,6 +1488,24 @@ class BackendInterface:
             )
         back = _back(G)
         return {back[n]: l for n, l in api.onion_layer_dict(_lg(G)).items()}
+
+    @staticmethod
+    def percolation_centrality(
+        G, attribute="percolation", states=None, weight=None, **kw
+    ):
+        # nx: states dict wins; else the node attribute (KeyError on a
+        # missing node, nx's own contract surfaced by the comprehension)
+        if states is None:
+            attrs = {n: d for n, d in G.nodes(data=True)}
+            states = {n: attrs[n][attribute] for n in G.nodes}
+        back = _back(G)
+        named = {str(n): float(states[n]) for n in G.nodes}
+        return {
+            back[n]: v
+            for n, v in api.percolation_centrality_dict(
+                _lg(G), named, weight=weight
+            ).items()
+        }
 
 
 def get_info() -> dict:

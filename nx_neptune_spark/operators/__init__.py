@@ -102,3 +102,4 @@ from .bridges import (  # noqa: F401
     two_edge_components,
 )
 from .onion import onion_layers  # noqa: F401
+from .percolation import percolation_centrality  # noqa: F401

@@ -380,3 +380,20 @@ def test_onion_layers_dispatch(spark):
     assert got == want
     with pytest.raises(nx.NetworkXNotImplemented):
         nx.onion_layers(nx.DiGraph([(1, 2)]), backend="spark")
+
+
+def test_percolation_centrality_dispatch(spark):
+    g = two_triangles_bridge()
+    states = {n: (i % 4 + 1) / 4.0 for i, n in enumerate(sorted(g.nodes))}
+    got = nx.percolation_centrality(g, states=states, backend="spark")
+    want = nx.percolation_centrality(g, states=states)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-12)
+    # attribute path: states read from node data
+    h = nx.path_graph(5)
+    nx.set_node_attributes(h, {n: 0.2 * (n + 1) for n in h.nodes}, "percolation")
+    got_a = nx.percolation_centrality(h, backend="spark")
+    want_a = nx.percolation_centrality(h)
+    for k in want_a:
+        assert math.isclose(got_a[k], want_a[k], rel_tol=1e-9, abs_tol=1e-12)
