@@ -2005,6 +2005,47 @@ def q_two_edge_components(spark, sf_dir):
     )
 
 
+def q_bipartite_projection(spark, sf_dir):
+    """One-mode bipartite projection with every standard weight in one
+    wedge aggregate (operators/bipartite.py bipartite_projection; nx
+    projection-family parity differential in
+    tests/test_bipartite_projection.py). Pinned 90-vertex bipartite
+    fixture: left 0..39, right 40..89, 3 affine-modular edges per left
+    vertex. Oracle: the same wedge computed relationally in DuckDB."""
+    from nx_neptune_spark.operators.bipartite import bipartite_projection
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("i"))
+        .where(F.col("i") < BRDG_N)
+    )
+    i = F.col("i")
+    left = ids.where(i < 40)
+    raw = None
+    for k in (0, 1, 2):
+        p = left.select(
+            i.cast("long").alias("src"),
+            (F.lit(40) + (i * 7 + k) % 50).cast("long").alias("dst"),
+        )
+        raw = p if raw is None else raw.unionByName(p)
+    g = LinkGraph(
+        raw,
+        ids.select(i.cast("long").alias("vid")),
+        directed=False,
+        vids_non_negative=True,
+    )
+    res = bipartite_projection(g, left.select(i.cast("long").alias("vid")))
+    return res.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("common").cast("long").alias("common"),
+        F.round("ratio", 8).alias("ratio"),
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("overlap_min", 8).alias("overlap_min"),
+        F.round("collab", 8).alias("collab"),
+    )
+
+
 def q_onion_layers(spark, sf_dir):
     """Onion decomposition (operators/onion.py, Hebert-Dufresne 2016;
     nx.onion_layers parity) on the pinned bridge fixture — its mix of
@@ -2178,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
         "onion_layers": q_onion_layers,
+        "bipartite_projection": q_bipartite_projection,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2655,6 +2697,38 @@ e{k} AS MATERIALIZED (
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+def _bipartite_projection_sql() -> str:
+    """Relational wedge oracle for the bipartite projection row: join
+    the (u, center) table to itself on the center with the center
+    degree attached, aggregate per pair, attach side degrees."""
+    return f"""
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {BRDG_N}),
+raw AS (
+  SELECT i AS u, 40 + ((i*7 + 0) % 50) AS m FROM ids WHERE i < 40
+  UNION ALL SELECT i, 40 + ((i*7 + 1) % 50) FROM ids WHERE i < 40
+  UNION ALL SELECT i, 40 + ((i*7 + 2) % 50) FROM ids WHERE i < 40
+),
+ue AS MATERIALIZED (SELECT DISTINCT u, m FROM raw),
+du AS (SELECT u, count(*) AS du FROM ue GROUP BY u),
+dm AS (SELECT m, count(*) AS dm FROM ue GROUP BY m),
+n_other AS (SELECT count(*) AS c FROM ids WHERE i >= 40),
+agg AS (
+  SELECT l.u AS u, r.u AS v, count(*) AS common,
+         sum(1.0 / (d.dm - 1.0)) AS collab
+  FROM ue l JOIN ue r ON l.m = r.m AND l.u < r.u
+  JOIN dm d ON d.m = l.m
+  GROUP BY l.u, r.u)
+SELECT CAST(a.u AS BIGINT) AS u, CAST(a.v AS BIGINT) AS v,
+       CAST(a.common AS BIGINT) AS common,
+       ROUND(a.common / CAST(o.c AS DOUBLE), 8) AS ratio,
+       ROUND(a.common / CAST(x.du + y.du - a.common AS DOUBLE), 8) AS jaccard,
+       ROUND(a.common / CAST(least(x.du, y.du) AS DOUBLE), 8) AS overlap_min,
+       ROUND(a.collab, 8) AS collab
+FROM agg a
+JOIN du x ON x.u = a.u
+JOIN du y ON y.u = a.v, n_other o"""
 
 
 def _gopher_sql() -> str:
@@ -4840,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
         "bridges": _bridges_sql(),
         "two_edge_components": _two_edge_components_sql(),
         "onion_layers": _onion_sql(),
+        "bipartite_projection": _bipartite_projection_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

@@ -1998,3 +1998,28 @@ def percolation_centrality_dict(
         name_of[r["vid"]]: float(r["percolation"])
         for r in _pc(graph, sdf, weight=weight).collect()
     }
+
+
+def bipartite_projection_weights(
+    graph: LinkGraph, node_names: list, max_center_degree=None
+) -> dict:
+    """{(u_name, v_name): {common, ratio, jaccard, overlap_min,
+    collab}} for the one-mode projection onto node_names
+    (operators/bipartite.py bipartite_projection)."""
+    from .operators.bipartite import bipartite_projection as _bp
+
+    graph._guard_adapter("bipartite projection adapters")
+    vid_of, name_of = graph.vid_of(), graph.name_of()
+    nodes = graph.spark.createDataFrame(
+        [(vid_of[str(n)],) for n in node_names], "vid long"
+    )
+    out = {}
+    for r in _bp(graph, nodes, max_center_degree=max_center_degree).collect():
+        out[(name_of[r["u"]], name_of[r["v"]])] = {
+            "common": int(r["common"]),
+            "ratio": float(r["ratio"]),
+            "jaccard": float(r["jaccard"]),
+            "overlap_min": float(r["overlap_min"]),
+            "collab": float(r["collab"]),
+        }
+    return out

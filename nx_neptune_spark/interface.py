@@ -163,6 +163,10 @@ ALGORITHMS = [
     "k_edge_components",
     "onion_layers",
     "percolation_centrality",
+    "projected_graph",
+    "weighted_projected_graph",
+    "overlap_weighted_projected_graph",
+    "collaboration_weighted_projected_graph",
 ]
 
 
@@ -1506,6 +1510,64 @@ class BackendInterface:
                 _lg(G), named, weight=weight
             ).items()
         }
+
+    @staticmethod
+    def _projection(B, nodes, weight_key):
+        """Shared builder for the nx.bipartite projection family:
+        a Graph over ``nodes`` (data copied, nx parity) with edges
+        weighted by one column of the single-pass wedge aggregate."""
+        import networkx as nx
+
+        if B.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "directed bipartite projections are not implemented by "
+                "the spark backend"
+            )
+        if B.is_multigraph():
+            raise nx.NetworkXNotImplemented(
+                "multigraph bipartite projections are not implemented by "
+                "the spark backend"
+            )
+        back = _back(B)
+        weights = api.bipartite_projection_weights(
+            _lg(B), [str(n) for n in nodes]
+        )
+        H = nx.Graph()
+        H.graph.update(B.graph)
+        H.add_nodes_from((n, B.nodes[n]) for n in nodes)
+        for (a, b), w in weights.items():
+            if weight_key is None:
+                H.add_edge(back[a], back[b])
+            else:
+                H.add_edge(back[a], back[b], weight=w[weight_key])
+        return H
+
+    @staticmethod
+    def projected_graph(B, nodes, multigraph=False, **kw):
+        import networkx as nx
+
+        if multigraph:
+            raise nx.NetworkXNotImplemented(
+                "multigraph projection is not implemented by the spark "
+                "backend"
+            )
+        return BackendInterface._projection(B, nodes, None)
+
+    @staticmethod
+    def weighted_projected_graph(B, nodes, ratio=False, **kw):
+        return BackendInterface._projection(
+            B, nodes, "ratio" if ratio else "common"
+        )
+
+    @staticmethod
+    def overlap_weighted_projected_graph(B, nodes, jaccard=True, **kw):
+        return BackendInterface._projection(
+            B, nodes, "jaccard" if jaccard else "overlap_min"
+        )
+
+    @staticmethod
+    def collaboration_weighted_projected_graph(B, nodes, **kw):
+        return BackendInterface._projection(B, nodes, "collab")
 
 
 def get_info() -> dict:

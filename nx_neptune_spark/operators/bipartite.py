@@ -130,3 +130,83 @@ def is_bipartite(graph: LinkGraph) -> bool:
     undirected view, like nx)."""
     _, conflicts = _parity_colors(graph)
     return conflicts.isEmpty()
+
+
+def bipartite_projection(
+    graph: LinkGraph,
+    nodes: DataFrame,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """One-mode projections of a bipartite graph onto the ``nodes``
+    side, ALL standard weights in ONE wedge aggregate
+    (``nx.bipartite`` projection family parity):
+
+      common      |N(u) ∩ N(v)|            (weighted_projected_graph)
+      ratio       common / |other side|    (ratio=True variant)
+      jaccard     common / |N(u) ∪ N(v)|   (overlap_weighted_, jaccard)
+      overlap_min common / min(deg)        (overlap_weighted_, not jaccard)
+      collab      Σ_k 1/(deg_k − 1)        (collaboration_weighted_,
+                                            Newman 2001)
+
+    Returns DataFrame(u, v, common, ratio, jaccard, overlap_min,
+    collab) with u < v and common >= 1 — nodes of the projected side
+    with no co-neighbor pair simply have no rows (the adapter re-adds
+    them as isolated projection vertices, nx graph parity).
+
+    Plan: one semi-join splits the symmetric edge view into
+    (u-side, center) rows; the projection is the linkpred wedge
+    self-join keyed by the center with the center's degree joined
+    BEFORE aggregation, so every weight folds into the same
+    (u, v) partial+final aggregate. ``max_center_degree`` is the
+    stop-shingle hub cap (operators/linkpred.py's device) — a center
+    shared by k projected vertices emits k(k−1)/2 wedges, and a
+    super-hub center dominates the join at web scale while carrying
+    ~zero similarity signal."""
+    nodes = nodes.select(F.col(nodes.columns[0]).alias("vid")).distinct()
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ue = sym.join(nodes.withColumnRenamed("vid", "src"), "src", "left_semi").select(
+        F.col("src").alias("u"), F.col("dst").alias("m")
+    )
+    deg_u = ue.groupBy("u").agg(F.count("*").alias("du"))
+    deg_m = ue.groupBy("m").agg(F.count("*").alias("dm"))
+    if max_center_degree is not None:
+        deg_m = deg_m.where(F.col("dm") <= max_center_degree)
+    # nx ratio denominator: |B| − |nodes| over the FULL vertex set
+    # (isolated other-side vertices count)
+    n_other = graph.vertices.select("vid").join(nodes, "vid", "left_anti").count()
+    le = ue.join(deg_m, "m")
+    wedges = (
+        le.alias("l")
+        .join(ue.alias("r"), F.col("l.m") == F.col("r.m"))
+        .where(F.col("l.u") < F.col("r.u"))
+        .select(
+            F.col("l.u").alias("u"),
+            F.col("r.u").alias("v"),
+            F.col("l.dm").alias("dm"),
+        )
+    )
+    agg = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common"),
+        F.sum(1.0 / (F.col("dm") - 1.0)).alias("collab"),
+    )
+    return (
+        agg.join(deg_u.withColumnRenamed("u", "u").alias("a"), "u")
+        .join(
+            deg_u.select(F.col("u").alias("v"), F.col("du").alias("dv")), "v"
+        )
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("common") / F.lit(float(max(n_other, 1)))).alias("ratio"),
+            (
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common"))
+            ).alias("jaccard"),
+            (F.col("common") / F.least("du", "dv")).alias("overlap_min"),
+            "collab",
+        )
+    )

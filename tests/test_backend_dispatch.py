@@ -397,3 +397,26 @@ def test_percolation_centrality_dispatch(spark):
     want_a = nx.percolation_centrality(h)
     for k in want_a:
         assert math.isclose(got_a[k], want_a[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_bipartite_projection_dispatch(spark):
+    from networkx.algorithms import bipartite as nxb
+
+    g = nx.Graph()
+    left = [f"u{i}" for i in range(6)]
+    for i in range(6):
+        for k in (0, 1):
+            g.add_edge(f"u{i}", f"m{(i * 3 + k) % 5}")
+    got = nxb.weighted_projected_graph(g, left, backend="spark")
+    want = nxb.weighted_projected_graph(g, left)
+    assert set(got.nodes) == set(want.nodes)
+    assert {frozenset(e) for e in got.edges} == {frozenset(e) for e in want.edges}
+    for u, v, d in want.edges(data=True):
+        assert got[u][v]["weight"] == d["weight"]
+    got_c = nxb.collaboration_weighted_projected_graph(g, left, backend="spark")
+    want_c = nxb.collaboration_weighted_projected_graph(g, left)
+    for u, v, d in want_c.edges(data=True):
+        assert math.isclose(got_c[u][v]["weight"], d["weight"])
+    got_p = nxb.projected_graph(g, left, backend="spark")
+    want_p = nxb.projected_graph(g, left)
+    assert {frozenset(e) for e in got_p.edges} == {frozenset(e) for e in want_p.edges}
