@@ -107,6 +107,7 @@ MSF_MIX = 2654435761
 MSF_MOD = 4294967296
 BRDG_N = 90
 ONION_ORACLE_ROUNDS = 16
+SIMRANK_ITERS = 6
 TOPK = 5
 N_QUERIES = 3
 
@@ -2005,6 +2006,26 @@ def q_two_edge_components(spark, sf_dir):
     )
 
 
+def q_simrank(spark, sf_dir):
+    """SimRank (operators/simrank.py, Jeh-Widom 2002) at fixed depth
+    SIMRANK_ITERS with importance factor 0.8 on the pinned bridge
+    fixture — the sparse pair support (diagonal + both orientations)
+    is identical construction in both engines, so row sets match
+    exactly. The oracle unrolls the same recursion over the
+    in-neighbor table."""
+    from nx_neptune_spark.operators.simrank import simrank_similarity
+
+    g = _bridges_graph(spark, sf_dir)
+    res = simrank_similarity(
+        g, importance_factor=0.8, fixed_iterations=SIMRANK_ITERS
+    )
+    return res.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("sim", 8).alias("sim"),
+    )
+
+
 def q_bipartite_projection(spark, sf_dir):
     """One-mode bipartite projection with every standard weight in one
     wedge aggregate (operators/bipartite.py bipartite_projection; nx
@@ -2220,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_edge_components": q_two_edge_components,
         "onion_layers": q_onion_layers,
         "bipartite_projection": q_bipartite_projection,
+        "simrank": q_simrank,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2696,6 +2718,46 @@ e{k} AS MATERIALIZED (
         for k in range(1, k_n + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+def _simrank_sql(rounds: int = None) -> str:
+    """Unrolled SimRank oracle (operators/simrank.py): s0 = the
+    diagonal; per round the off-diagonal block is
+    C/(d_u·d_v) · Σ s_{t-1} over in-neighbor pairs, diagonal re-pinned
+    to 1. Same sparse support construction as the engine, so the row
+    sets match exactly."""
+    k_n = rounds if rounds is not None else SIMRANK_ITERS
+    parts = [
+        "WITH " + _BRDG_RAW_SQL.format(n=BRDG_N).strip(),
+        """,
+inn AS MATERIALIZED (
+  SELECT u AS nbr, v AS u FROM ce UNION ALL SELECT v, u FROM ce),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM inn GROUP BY u),
+s0 AS MATERIALIZED (
+  SELECT i AS a, i AS b, CAST(1.0 AS DOUBLE) AS sim FROM ids)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (
+  SELECT i AS a, i AS b, CAST(1.0 AS DOUBLE) AS sim FROM ids
+  UNION ALL
+  SELECT x.u AS a, y.u AS b,
+         0.8 * sum(p.sim) / (dx.d * dy.d) AS sim
+  FROM s{k - 1} p
+  JOIN inn x ON x.nbr = p.a
+  JOIN inn y ON y.nbr = p.b
+  JOIN deg dx ON dx.u = x.u
+  JOIN deg dy ON dy.u = y.u
+  WHERE x.u <> y.u
+  GROUP BY x.u, y.u, dx.d, dy.d)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(sim, 8) AS sim FROM s{k_n}"""
+    )
     return "".join(parts)
 
 
@@ -4915,6 +4977,7 @@ def oracle_sql() -> dict[str, str]:
         "two_edge_components": _two_edge_components_sql(),
         "onion_layers": _onion_sql(),
         "bipartite_projection": _bipartite_projection_sql(),
+        "simrank": _simrank_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

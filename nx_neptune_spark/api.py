@@ -2023,3 +2023,31 @@ def bipartite_projection_weights(
             "collab": float(r["collab"]),
         }
     return out
+
+
+def simrank_similarity_dict(
+    graph: LinkGraph,
+    importance_factor: float = 0.9,
+    max_iterations: int = 1000,
+    tolerance: float = 1e-4,
+) -> dict:
+    """nx.simrank_similarity-shaped DENSE dict-of-dicts (absent sparse
+    support pairs expanded to 0.0), keyed by vertex name
+    (operators/simrank.py)."""
+    from .operators.simrank import simrank_similarity as _sr
+
+    graph._guard_adapter("simrank adapters")
+    name_of = graph.name_of()
+    sparse = {}
+    for r in _sr(
+        graph,
+        importance_factor=importance_factor,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+    ).collect():
+        sparse[(r["a"], r["b"])] = float(r["sim"])
+    names = list(name_of)
+    return {
+        name_of[a]: {name_of[b]: sparse.get((a, b), 0.0) for b in names}
+        for a in names
+    }

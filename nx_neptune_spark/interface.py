@@ -167,6 +167,7 @@ ALGORITHMS = [
     "weighted_projected_graph",
     "overlap_weighted_projected_graph",
     "collaboration_weighted_projected_graph",
+    "simrank_similarity",
 ]
 
 
@@ -1568,6 +1569,44 @@ class BackendInterface:
     @staticmethod
     def collaboration_weighted_projected_graph(B, nodes, **kw):
         return BackendInterface._projection(B, nodes, "collab")
+
+    @staticmethod
+    def simrank_similarity(
+        G,
+        source=None,
+        target=None,
+        importance_factor=0.9,
+        max_iterations=1000,
+        tolerance=1e-4,
+        **kw,
+    ):
+        import networkx as nx
+
+        from nx_neptune_spark.operators.simrank import ExceededMaxIterations
+
+        if source is not None and source not in G:
+            raise nx.NodeNotFound(f"Source node {source} not in G")
+        if target is not None and target not in G:
+            raise nx.NodeNotFound(f"Target node {target} not in G")
+        back = _back(G)
+        try:
+            dense = api.simrank_similarity_dict(
+                _lg(G),
+                importance_factor=importance_factor,
+                max_iterations=max_iterations,
+                tolerance=tolerance,
+            )
+        except ExceededMaxIterations as exc:
+            raise nx.ExceededMaxIterations(str(exc)) from exc
+        out = {
+            back[a]: {back[b]: v for b, v in row.items()}
+            for a, row in dense.items()
+        }
+        if source is not None and target is not None:
+            return out[source][target]
+        if source is not None:
+            return out[source]
+        return out
 
 
 def get_info() -> dict:

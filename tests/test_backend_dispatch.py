@@ -420,3 +420,21 @@ def test_bipartite_projection_dispatch(spark):
     got_p = nxb.projected_graph(g, left, backend="spark")
     want_p = nxb.projected_graph(g, left)
     assert {frozenset(e) for e in got_p.edges} == {frozenset(e) for e in want_p.edges}
+
+
+def test_simrank_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.simrank_similarity(g, backend="spark")
+    want = nx.simrank_similarity(g)
+    for u in want:
+        for v in want[u]:
+            assert math.isclose(got[u][v], want[u][v], rel_tol=1e-9, abs_tol=1e-12)
+    gs = nx.simrank_similarity(g, source="A", backend="spark")
+    ws = nx.simrank_similarity(g, source="A")
+    for v in ws:
+        assert math.isclose(gs[v], ws[v], rel_tol=1e-9, abs_tol=1e-12)
+    gt = nx.simrank_similarity(g, source="A", target="D", backend="spark")
+    wt = nx.simrank_similarity(g, source="A", target="D")
+    assert math.isclose(gt, wt, rel_tol=1e-9, abs_tol=1e-12)
+    with pytest.raises(nx.NodeNotFound):
+        nx.simrank_similarity(g, source="ZZ", backend="spark")
