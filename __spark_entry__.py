@@ -2180,6 +2180,20 @@ def q_percolation(spark, sf_dir):
     return res.select("vid", F.round("percolation", 8).alias("percolation"))
 
 
+def q_load_centrality(spark, sf_dir):
+    """Pivot-sampled load centrality from sources (0, 7, 23) on the
+    directed pr-graph (operators/load.py, Newman 2001), unnormalized —
+    equal-split flow over the BFS DAG (load's one semantic difference
+    from Brandes betweenness). The oracle unrolls the same forward
+    levels with the DAG in-degree counted per level and accumulates
+    (1+received)/npred backward, stopping before the source level."""
+    from nx_neptune_spark.operators.load import load_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    res = load_centrality(g, sources=list(BETW_SOURCES), normalized=False)
+    return res.select("vid", F.round("load", 8).alias("load"))
+
+
 def q_edge_betweenness(spark, sf_dir):
     """Pivot-sampled Brandes EDGE betweenness from sources (0, 7, 23)
     on the directed pr-graph (operators/betweenness.py), unnormalized —
@@ -2248,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "percolation": q_percolation,
+        "load_centrality": q_load_centrality,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -3014,6 +3029,59 @@ pc AS (
   GROUP BY acc.v)
 SELECT i AS vid, round(coalesce(p, 0.0) / (nn.n - 2), 8) AS percolation
 FROM ids LEFT JOIN pc ON pc.vid = i, nn"""
+    )
+    return "".join(parts)
+
+
+def _load_sql(depth: int = None) -> str:
+    """Unrolled load-centrality oracle (operators/load.py): forward
+    level CTEs carry (s, v, npred) — the BFS-DAG in-degree — and the
+    backward CTEs accumulate Σ (1 + received_w)/npred_w over DAG
+    edges; the level-1 → source hop is skipped and the per-vertex −1
+    baseline cancels against the initial unit, so load = received.
+    Unnormalized (raw sums, matching the query)."""
+    k_n = depth if depth is not None else BETW_ORACLE_DEPTH
+    srcs = ", ".join(f"({s})" for s in BETW_SOURCES)
+    parts = [
+        "WITH " + _GRAPH_CTES.strip().rstrip(",").rstrip(),
+        f""",
+src AS (SELECT * FROM (VALUES {srcs}) AS t(s)),
+f0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS npred FROM src),
+fa0 AS (SELECT s, v FROM f0)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, count(*) AS npred
+  FROM f{k - 1} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM fa{k - 1} a WHERE a.s = f.s AND a.v = e.dst)
+  GROUP BY f.s, e.dst),
+fa{k} AS MATERIALIZED (SELECT s, v FROM fa{k - 1} UNION ALL SELECT s, v FROM f{k})"""
+        )
+    parts.append(
+        f""",
+r{k_n} AS (SELECT s, v, CAST(0 AS DOUBLE) AS r FROM f{k_n} WHERE 1 = 0)"""
+    )
+    for lvl in range(k_n - 1, 0, -1):
+        parts.append(
+            f""",
+r{lvl} AS MATERIALIZED (
+  SELECT c.s, c.v, sum((1.0 + coalesce(rw.r, 0.0)) / u.npred) AS r
+  FROM f{lvl} c JOIN edges e ON e.src = c.v
+  JOIN f{lvl + 1} u ON u.s = c.s AND u.v = e.dst
+  LEFT JOIN r{lvl + 1} rw ON rw.s = c.s AND rw.v = u.v
+  GROUP BY c.s, c.v)"""
+        )
+    acc = "\nUNION ALL ".join(
+        f"SELECT v, r FROM r{lvl}" for lvl in range(1, k_n)
+    )
+    parts.append(
+        f""",
+acc AS ({acc}),
+ld AS (SELECT v AS vid, sum(r) AS l FROM acc GROUP BY v)
+SELECT i AS vid, round(coalesce(l, 0.0), 8) AS load
+FROM ids LEFT JOIN ld ON ld.vid = i"""
     )
     return "".join(parts)
 
@@ -4984,6 +5052,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_sql(),
         "edge_betweenness": _edge_betweenness_sql(),
         "percolation": _percolation_sql(),
+        "load_centrality": _load_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

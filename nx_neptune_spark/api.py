@@ -2051,3 +2051,20 @@ def simrank_similarity_dict(
         name_of[a]: {name_of[b]: sparse.get((a, b), 0.0) for b in names}
         for a in names
     }
+
+
+def load_centrality_dict(
+    graph: LinkGraph, normalized=True, weight=None, cutoff=None
+) -> dict:
+    """nx.load_centrality-shaped {name: value} dict
+    (operators/load.py equal-split flow accumulation)."""
+    from .operators.load import load_centrality as _load
+
+    graph._guard_adapter("load centrality adapters")
+    name_of = graph.name_of()
+    return {
+        name_of[r["vid"]]: float(r["load"])
+        for r in _load(
+            graph, normalized=normalized, weight=weight, cutoff=cutoff
+        ).collect()
+    }

@@ -168,6 +168,8 @@ ALGORITHMS = [
     "overlap_weighted_projected_graph",
     "collaboration_weighted_projected_graph",
     "simrank_similarity",
+    "load_centrality",
+    "newman_betweenness_centrality",
 ]
 
 
@@ -1607,6 +1609,22 @@ class BackendInterface:
         if source is not None:
             return out[source]
         return out
+
+    @staticmethod
+    def load_centrality(
+        G, v=None, cutoff=None, normalized=True, weight=None, **kw
+    ):
+        back = _back(G)
+        out = {
+            back[n]: x
+            for n, x in api.load_centrality_dict(
+                _lg(G), normalized=normalized, weight=weight, cutoff=cutoff
+            ).items()
+        }
+        return out[v] if v is not None else out
+
+    # nx exports load under both names
+    newman_betweenness_centrality = load_centrality
 
 
 def get_info() -> dict:

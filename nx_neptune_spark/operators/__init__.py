@@ -104,3 +104,4 @@ from .bridges import (  # noqa: F401
 from .onion import onion_layers  # noqa: F401
 from .percolation import percolation_centrality  # noqa: F401
 from .simrank import simrank_similarity  # noqa: F401
+from .load import load_centrality  # noqa: F401

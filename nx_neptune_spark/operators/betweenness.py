@@ -64,7 +64,8 @@ def _forward_levels(
     levels: list[DataFrame] = []
     level_rows: list[int] = []
     frontier = pivots.select(
-        "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
+        "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma"),
+        F.lit(0).cast("long").alias("npred"),
     ).localCheckpoint(eager=True)
     visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
     levels.append(frontier)
@@ -76,7 +77,9 @@ def _forward_levels(
         nxt = (
             edges.join(frontier, edges.src == frontier.vid)
             .groupBy("s", F.col("dst").alias("vid"))
-            .agg(F.sum("sigma").alias("sigma"))
+            # npred = BFS-DAG in-degree (load centrality's equal-split
+            # denominator); betweenness ignores it
+            .agg(F.sum("sigma").alias("sigma"), F.count("*").alias("npred"))
             .join(visited, ["s", "vid"], "left_anti")
             .localCheckpoint(eager=True)
         )

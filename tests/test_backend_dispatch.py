@@ -438,3 +438,13 @@ def test_simrank_dispatch(spark):
     assert math.isclose(gt, wt, rel_tol=1e-9, abs_tol=1e-12)
     with pytest.raises(nx.NodeNotFound):
         nx.simrank_similarity(g, source="ZZ", backend="spark")
+
+
+def test_load_centrality_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.load_centrality(g, backend="spark")
+    want = nx.load_centrality(g)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-12)
+    gv = nx.load_centrality(g, v="C", backend="spark")
+    assert math.isclose(gv, want["C"], rel_tol=1e-9, abs_tol=1e-12)
