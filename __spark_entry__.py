@@ -2180,6 +2180,34 @@ def q_percolation(spark, sf_dir):
     return res.select("vid", F.round("percolation", 8).alias("percolation"))
 
 
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical + numeric attribute assortativity (Newman 2003 Eq.
+    2 / Eq. 21; operators/assortativity.py) on the directed pr-graph
+    with deterministic attributes att = vid%5, val = (vid*3)%7. The
+    mixing arithmetic is exact-integer up to one final division, so
+    the doubles match bit-for-bit; the oracle runs the identical sums
+    relationally."""
+    from nx_neptune_spark.operators.assortativity import (
+        attribute_assortativity_coefficient,
+        numeric_assortativity_coefficient,
+    )
+
+    g = _pr_graph(spark, sf_dir)
+    attrs = g.vertices.select(
+        "vid", (F.col("vid") % 5).cast("string").alias("att")
+    )
+    vals = g.vertices.select(
+        "vid", ((F.col("vid") * 3) % 7).cast("double").alias("att")
+    )
+    a_r = attribute_assortativity_coefficient(g, attrs)
+    n_r = numeric_assortativity_coefficient(g, vals)
+    return spark.createDataFrame(
+        [(float(a_r), float(n_r))], "a double, n double"
+    ).select(
+        F.round("a", 8).alias("attr_r"), F.round("n", 8).alias("numeric_r")
+    )
+
+
 def q_load_centrality(spark, sf_dir):
     """Pivot-sampled load centrality from sources (0, 7, 23) on the
     directed pr-graph (operators/load.py, Newman 2001), unnormalized —
@@ -2263,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness": q_edge_betweenness,
         "percolation": q_percolation,
         "load_centrality": q_load_centrality,
+        "attr_assortativity": q_attr_assortativity,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -3031,6 +3060,44 @@ SELECT i AS vid, round(coalesce(p, 0.0) / (nn.n - 2), 8) AS percolation
 FROM ids LEFT JOIN pc ON pc.vid = i, nn"""
     )
     return "".join(parts)
+
+
+def _attr_assortativity_sql() -> str:
+    """Exact-integer mixing sums (operators/assortativity.py): for the
+    categorical coefficient r = (t·tot − s)/(tot² − s) with t = Σ
+    diagonal counts and s = Σ rowsum·colsum; for the numeric
+    coefficient the Pearson sums over (x, y) edge pairs — one float
+    division / sqrt at the very end in both engines."""
+    return (
+        "WITH "
+        + _GRAPH_CTES.strip().rstrip(",").rstrip()
+        + """,
+att AS (SELECT i AS vid, i % 5 AS a, CAST((i*3) % 7 AS BIGINT) AS x FROM ids),
+pairs AS (
+  SELECT xa.a AS ax, xb.a AS ay, xa.x AS vx, xb.x AS vy
+  FROM edges e JOIN att xa ON xa.vid = e.src JOIN att xb ON xb.vid = e.dst),
+cnt AS (SELECT ax, ay, count(*) AS c FROM pairs GROUP BY ax, ay),
+tops AS (
+  SELECT sum(c) AS tot,
+         sum(CASE WHEN ax = ay THEN c ELSE 0 END) AS t
+  FROM cnt),
+ab AS (
+  SELECT sum(ra.a * cb.b) AS s FROM
+    (SELECT ax, sum(c) AS a FROM cnt GROUP BY ax) ra
+    JOIN (SELECT ay, sum(c) AS b FROM cnt GROUP BY ay) cb ON cb.ay = ra.ax),
+pe AS (
+  SELECT count(*) AS n, sum(vx) AS sx, sum(vy) AS sy,
+         sum(vx*vy) AS sxy, sum(vx*vx) AS sxx, sum(vy*vy) AS syy
+  FROM pairs)
+SELECT
+  ROUND(CAST(tops.t * tops.tot - ab.s AS DOUBLE)
+        / CAST(tops.tot * tops.tot - ab.s AS DOUBLE), 8) AS attr_r,
+  ROUND(CAST(pe.n * pe.sxy - pe.sx * pe.sy AS DOUBLE)
+        / (sqrt(CAST(pe.n * pe.sxx - pe.sx * pe.sx AS DOUBLE))
+           * sqrt(CAST(pe.n * pe.syy - pe.sy * pe.sy AS DOUBLE))), 8)
+    AS numeric_r
+FROM tops, ab, pe"""
+    )
 
 
 def _load_sql(depth: int = None) -> str:
@@ -5053,6 +5120,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_betweenness": _edge_betweenness_sql(),
         "percolation": _percolation_sql(),
         "load_centrality": _load_sql(),
+        "attr_assortativity": _attr_assortativity_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

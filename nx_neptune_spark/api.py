@@ -2068,3 +2068,49 @@ def load_centrality_dict(
             graph, normalized=normalized, weight=weight, cutoff=cutoff
         ).collect()
     }
+
+
+def _node_values_df(graph: LinkGraph, values: dict, numeric: bool):
+    vid_of = graph.vid_of()
+    typ = "double" if numeric else "string"
+    return graph.spark.createDataFrame(
+        [
+            (vid_of[str(k)], float(v) if numeric else str(v))
+            for k, v in values.items()
+        ],
+        f"vid long, att {typ}",
+    )
+
+
+def attribute_assortativity(graph: LinkGraph, values: dict, node_names=None) -> float:
+    """nx.attribute_assortativity_coefficient over name-keyed
+    categorical values (operators/assortativity.py)."""
+    from .operators.assortativity import attribute_assortativity_coefficient
+
+    graph._guard_adapter("assortativity adapters")
+    nodes = None
+    if node_names is not None:
+        vid_of = graph.vid_of()
+        nodes = graph.spark.createDataFrame(
+            [(vid_of[str(n)],) for n in node_names], "vid long"
+        )
+    return attribute_assortativity_coefficient(
+        graph, _node_values_df(graph, values, numeric=False), nodes
+    )
+
+
+def numeric_assortativity(graph: LinkGraph, values: dict, node_names=None) -> float:
+    """nx.numeric_assortativity_coefficient over name-keyed scalar
+    values (operators/assortativity.py)."""
+    from .operators.assortativity import numeric_assortativity_coefficient
+
+    graph._guard_adapter("assortativity adapters")
+    nodes = None
+    if node_names is not None:
+        vid_of = graph.vid_of()
+        nodes = graph.spark.createDataFrame(
+            [(vid_of[str(n)],) for n in node_names], "vid long"
+        )
+    return numeric_assortativity_coefficient(
+        graph, _node_values_df(graph, values, numeric=True), nodes
+    )

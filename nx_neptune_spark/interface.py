@@ -170,6 +170,8 @@ ALGORITHMS = [
     "simrank_similarity",
     "load_centrality",
     "newman_betweenness_centrality",
+    "attribute_assortativity_coefficient",
+    "numeric_assortativity_coefficient",
 ]
 
 
@@ -1625,6 +1627,20 @@ class BackendInterface:
 
     # nx exports load under both names
     newman_betweenness_centrality = load_centrality
+
+    @staticmethod
+    def attribute_assortativity_coefficient(G, attribute, nodes=None, **kw):
+        # nx's node_attribute_xy uses .get(attr, None): missing
+        # attributes mix as their own category
+        values = {n: G.nodes[n].get(attribute) for n in G.nodes}
+        names = None if nodes is None else [str(n) for n in nodes]
+        return api.attribute_assortativity(_lg(G), values, node_names=names)
+
+    @staticmethod
+    def numeric_assortativity_coefficient(G, attribute, nodes=None, **kw):
+        values = {n: G.nodes[n][attribute] for n in G.nodes}
+        names = None if nodes is None else [str(n) for n in nodes]
+        return api.numeric_assortativity(_lg(G), values, node_names=names)
 
 
 def get_info() -> dict:

@@ -506,3 +506,75 @@ def directed_assortativity_profile(graph: LinkGraph) -> DataFrame:
         r("xi", "yi", "s_xi_yi").alias("r_in_in"),
         r("xi", "yo", "s_xi_yo").alias("r_in_out"),
     )
+
+
+def _attribute_pairs(
+    graph: LinkGraph, attrs: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """(x, y) attribute pairs per nx.node_attribute_xy: directed edges
+    once, undirected both orientations EXCEPT self-loops (once), and
+    the ``nodes`` filter applies to the FIRST endpoint only."""
+    e = graph.edges.select("src", "dst")
+    if not graph.directed:
+        nonself = e.where(F.col("src") != F.col("dst"))
+        e = e.unionByName(
+            nonself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    if nodes is not None:
+        e = e.join(
+            nodes.select(F.col(nodes.columns[0]).alias("src")).distinct(),
+            "src",
+            "left_semi",
+        )
+    a = attrs.select(F.col(attrs.columns[0]).alias("vid"), F.col(attrs.columns[1]).alias("att"))
+    return (
+        e.join(a.select(F.col("vid").alias("src"), F.col("att").alias("x")), "src")
+        .join(a.select(F.col("vid").alias("dst"), F.col("att").alias("y")), "dst")
+        .select("x", "y")
+    )
+
+
+def attribute_assortativity_coefficient(
+    graph: LinkGraph, attrs: DataFrame, nodes: DataFrame | None = None
+) -> float:
+    """Newman Eq. (2): (tr M − ΣM²)/(1 − ΣM²) over the categorical
+    mixing matrix (nx.attribute_assortativity_coefficient parity).
+    Exact integer arithmetic up to the final division: with integer
+    counts, r = (t·tot − s)/(tot² − s) where t = Σ diagonal counts,
+    s = Σ_x rowsum_x·colsum_x — both engines reproduce the double
+    bit-for-bit. The count matrix is attribute-domain-sized (never
+    collected; the three aggregates below are over it)."""
+    cnt = _attribute_pairs(graph, attrs, nodes).groupBy("x", "y").count()
+    cnt = cnt.persist()
+    row = cnt.agg(
+        F.sum("count").alias("tot"),
+        F.sum(F.when(F.col("x") == F.col("y"), F.col("count")).otherwise(0)).alias(
+            "t"
+        ),
+    ).first()
+    tot, t = row["tot"], row["t"]
+    if tot is None or tot == 0:
+        cnt.unpersist()
+        return float("nan")
+    rows = cnt.groupBy("x").agg(F.sum("count").alias("a"))
+    cols = cnt.groupBy("y").agg(F.sum("count").alias("b"))
+    s = (
+        rows.join(cols, rows.x == cols.y)
+        .agg(F.sum(F.col("a") * F.col("b")))
+        .first()[0]
+    ) or 0
+    cnt.unpersist()
+    denom = tot * tot - s
+    if denom == 0:
+        return float("nan")
+    return float(t * tot - s) / float(denom)
+
+
+def numeric_assortativity_coefficient(
+    graph: LinkGraph, vals: DataFrame, nodes: DataFrame | None = None
+) -> float:
+    """Pearson r of a scalar node attribute across edges (Newman Eq.
+    21; nx.numeric_assortativity_coefficient parity) — reuses the
+    exact-sum Pearson of the degree machinery."""
+    pairs = _attribute_pairs(graph, vals, nodes)
+    return assortativity_from_pairs(pairs)

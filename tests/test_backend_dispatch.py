@@ -448,3 +448,17 @@ def test_load_centrality_dispatch(spark):
         assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-12)
     gv = nx.load_centrality(g, v="C", backend="spark")
     assert math.isclose(gv, want["C"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_attribute_assortativity_dispatch(spark):
+    g = nx.Graph()
+    g.add_nodes_from([0, 1], color="red")
+    g.add_nodes_from([2, 3], color="blue")
+    g.add_edges_from([(0, 1), (2, 3), (1, 2)])
+    got = nx.attribute_assortativity_coefficient(g, "color", backend="spark")
+    want = nx.attribute_assortativity_coefficient(g, "color")
+    assert math.isclose(got, want, rel_tol=1e-9)
+    nx.set_node_attributes(g, {n: n + 1 for n in g.nodes}, "size")
+    got_n = nx.numeric_assortativity_coefficient(g, "size", backend="spark")
+    want_n = nx.numeric_assortativity_coefficient(g, "size")
+    assert math.isclose(got_n, want_n, rel_tol=1e-9)
