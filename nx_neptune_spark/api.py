@@ -2114,3 +2114,88 @@ def numeric_assortativity(graph: LinkGraph, values: dict, node_names=None) -> fl
     return numeric_assortativity_coefficient(
         graph, _node_values_df(graph, values, numeric=True), nodes
     )
+
+
+def _directed_degree_imbalance(graph: LinkGraph):
+    """DataFrame(vid, ins, outs) over edge-touched vertices."""
+    from pyspark.sql import functions as F
+
+    e = graph.edges.select("src", "dst")
+    outs = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outs"))
+    ins = e.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("ins"))
+    return outs.join(ins, "vid", "full_outer").select(
+        "vid",
+        F.coalesce("ins", F.lit(0)).alias("ins"),
+        F.coalesce("outs", F.lit(0)).alias("outs"),
+    )
+
+
+def is_eulerian(graph: LinkGraph) -> bool:
+    """nx.is_eulerian parity: balanced degrees + the matching
+    connectivity predicate (one degree aggregate + the existing
+    CC/SCC operator; NetworkXPointlessConcept propagates from the
+    connectivity check on the null graph, as in nx)."""
+    from pyspark.sql import functions as F
+
+    if graph.directed:
+        bal = _directed_degree_imbalance(graph).where(
+            F.col("ins") != F.col("outs")
+        )
+        return bal.isEmpty() and is_strongly_connected(graph)
+    e = graph.edges.select("src", "dst")
+    deg = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.where(F.col("d") % 2 != 0).isEmpty() and is_connected(graph)
+
+
+def has_eulerian_path(graph: LinkGraph, source=None) -> bool:
+    """nx.has_eulerian_path parity (source by vertex NAME)."""
+    from pyspark.sql import functions as F
+
+    if is_eulerian(graph):
+        return True
+    if graph.directed:
+        imb = _directed_degree_imbalance(graph)
+        if source is not None:
+            vid = graph.vid_of()[str(source)]
+            row = imb.where(F.col("vid") == vid).collect()
+            diff = (row[0]["outs"] - row[0]["ins"]) if row else 0
+            if diff != 1:
+                return False
+        counts = imb.agg(
+            F.sum((F.col("ins") - F.col("outs") == 1).cast("int")).alias("ui"),
+            F.sum((F.col("outs") - F.col("ins") == 1).cast("int")).alias("uo"),
+            F.sum(
+                (F.abs(F.col("ins") - F.col("outs")) > 1).cast("int")
+            ).alias("bad"),
+        ).first()
+        if (counts["bad"] or 0) > 0:
+            return False
+        return (
+            (counts["ui"] or 0) <= 1
+            and (counts["uo"] or 0) <= 1
+            and is_weakly_connected(graph)
+        )
+    e = graph.edges.select("src", "dst")
+    deg = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("d"))
+    )
+    if source is not None:
+        vid = graph.vid_of()[str(source)]
+        row = deg.where(F.col("vid") == vid).collect()
+        d = row[0]["d"] if row else 0
+        if d % 2 != 1:
+            return False
+    n_odd = deg.where(F.col("d") % 2 == 1).count()
+    return n_odd == 2 and is_connected(graph)
+
+
+def is_semieulerian(graph: LinkGraph) -> bool:
+    return has_eulerian_path(graph) and not is_eulerian(graph)

@@ -172,6 +172,9 @@ ALGORITHMS = [
     "newman_betweenness_centrality",
     "attribute_assortativity_coefficient",
     "numeric_assortativity_coefficient",
+    "is_eulerian",
+    "is_semieulerian",
+    "has_eulerian_path",
 ]
 
 
@@ -1641,6 +1644,20 @@ class BackendInterface:
         values = {n: G.nodes[n][attribute] for n in G.nodes}
         names = None if nodes is None else [str(n) for n in nodes]
         return api.numeric_assortativity(_lg(G), values, node_names=names)
+
+    @staticmethod
+    def is_eulerian(G, **kw):
+        return api.is_eulerian(_lg(G))
+
+    @staticmethod
+    def has_eulerian_path(G, source=None, **kw):
+        return api.has_eulerian_path(
+            _lg(G), source=None if source is None else str(source)
+        )
+
+    @staticmethod
+    def is_semieulerian(G, **kw):
+        return api.is_semieulerian(_lg(G))
 
 
 def get_info() -> dict:

@@ -462,3 +462,23 @@ def test_attribute_assortativity_dispatch(spark):
     got_n = nx.numeric_assortativity_coefficient(g, "size", backend="spark")
     want_n = nx.numeric_assortativity_coefficient(g, "size")
     assert math.isclose(got_n, want_n, rel_tol=1e-9)
+
+
+def test_eulerian_dispatch(spark):
+    cases = [
+        nx.cycle_graph(5),                       # eulerian
+        nx.path_graph(4),                        # semi (2 odd)
+        nx.star_graph(3),                        # neither (>2 odd... 3 odd +1? star_graph(3): center deg3, leaves deg1 -> 4 odd)
+        nx.DiGraph([(0, 1), (1, 2), (2, 0)]),    # eulerian directed
+        nx.DiGraph([(0, 1), (1, 2)]),            # directed path: semi
+        nx.DiGraph([(0, 1), (2, 3)]),            # disconnected
+        nx.disjoint_union(nx.cycle_graph(3), nx.cycle_graph(3)),
+    ]
+    for g in cases:
+        assert nx.is_eulerian(g, backend="spark") == nx.is_eulerian(g), g.edges
+        assert nx.has_eulerian_path(g, backend="spark") == nx.has_eulerian_path(g), g.edges
+        assert nx.is_semieulerian(g, backend="spark") == nx.is_semieulerian(g), g.edges
+    # source-pinned path check
+    p = nx.path_graph(4)
+    assert nx.has_eulerian_path(p, source=0, backend="spark") == nx.has_eulerian_path(p, source=0)
+    assert nx.has_eulerian_path(p, source=1, backend="spark") == nx.has_eulerian_path(p, source=1)
