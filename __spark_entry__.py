@@ -2180,6 +2180,46 @@ def q_percolation(spark, sf_dir):
     return res.select("vid", F.round("percolation", 8).alias("percolation"))
 
 
+def q_transitive_closure(spark, sf_dir):
+    """Transitive closure by path doubling (operators/closure.py,
+    log-rounds Valiant recurrence) on the pr-graph oriented low→high —
+    a DAG, so the closure is the full reachability table. Oracle: one
+    recursive-CTE closure (round-free, zero shared structure)."""
+    from nx_neptune_spark.operators.closure import transitive_closure
+
+    g = _pr_graph(spark, sf_dir)
+    dag = LinkGraph(
+        g.edges.where(F.col("src") < F.col("dst")),
+        g.vertices,
+        directed=True,
+        vids_non_negative=True,
+    )
+    return transitive_closure(dag).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
+def q_transitive_reduction(spark, sf_dir):
+    """Transitive reduction of the same DAG (unique minimal edge set:
+    (u,v) survives iff no w with (u,w) ∈ E and w ⇝ v;
+    operators/closure.py). Oracle: the same characterization over the
+    recursive-CTE closure."""
+    from nx_neptune_spark.operators.closure import transitive_reduction
+
+    g = _pr_graph(spark, sf_dir)
+    dag = LinkGraph(
+        g.edges.where(F.col("src") < F.col("dst")),
+        g.vertices,
+        directed=True,
+        vids_non_negative=True,
+    )
+    return transitive_reduction(dag).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
 def q_attr_assortativity(spark, sf_dir):
     """Categorical + numeric attribute assortativity (Newman 2003 Eq.
     2 / Eq. 21; operators/assortativity.py) on the directed pr-graph
@@ -2292,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation": q_percolation,
         "load_centrality": q_load_centrality,
         "attr_assortativity": q_attr_assortativity,
+        "transitive_closure": q_transitive_closure,
+        "transitive_reduction": q_transitive_reduction,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -3060,6 +3102,36 @@ SELECT i AS vid, round(coalesce(p, 0.0) / (nn.n - 2), 8) AS percolation
 FROM ids LEFT JOIN pc ON pc.vid = i, nn"""
     )
     return "".join(parts)
+
+
+def _closure_sql(reduction: bool) -> str:
+    """Round-free reachability oracle (operators/closure.py): one
+    recursive-CTE closure over the low→high-oriented pr-graph DAG;
+    the reduction keeps edges with no (u,w) ∈ E, w ⇝ v witness."""
+    base = (
+        "WITH RECURSIVE "
+        + _GRAPH_CTES.strip().rstrip(",").rstrip()
+        + """,
+de AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+cl AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT cl.src, de.dst FROM cl JOIN de ON de.src = cl.dst
+)"""
+    )
+    if not reduction:
+        return base + "\nSELECT src, dst FROM cl"
+    return (
+        base
+        + """,
+red AS (
+  SELECT DISTINCT e.src, e.dst
+  FROM de e JOIN de f ON f.src = e.src
+  JOIN cl c ON c.src = f.dst AND c.dst = e.dst)
+SELECT e.src, e.dst FROM de e
+WHERE NOT EXISTS (
+  SELECT 1 FROM red r WHERE r.src = e.src AND r.dst = e.dst)"""
+    )
 
 
 def _attr_assortativity_sql() -> str:
@@ -5121,6 +5193,8 @@ def oracle_sql() -> dict[str, str]:
         "percolation": _percolation_sql(),
         "load_centrality": _load_sql(),
         "attr_assortativity": _attr_assortativity_sql(),
+        "transitive_closure": _closure_sql(reduction=False),
+        "transitive_reduction": _closure_sql(reduction=True),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

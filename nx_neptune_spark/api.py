@@ -2199,3 +2199,27 @@ def has_eulerian_path(graph: LinkGraph, source=None) -> bool:
 
 def is_semieulerian(graph: LinkGraph) -> bool:
     return has_eulerian_path(graph) and not is_eulerian(graph)
+
+
+def transitive_closure_pairs(graph: LinkGraph, reflexive=False) -> set:
+    """Closure edge set as name pairs (operators/closure.py)."""
+    from .operators.closure import transitive_closure as _tc
+
+    graph._guard_adapter("closure adapters")
+    name_of = graph.name_of()
+    return {
+        (name_of[r["src"]], name_of[r["dst"]])
+        for r in _tc(graph, reflexive=reflexive).collect()
+    }
+
+
+def transitive_reduction_pairs(graph: LinkGraph) -> set:
+    """Reduction edge set as name pairs; ValueError on cycles."""
+    from .operators.closure import transitive_reduction as _tr
+
+    graph._guard_adapter("closure adapters")
+    name_of = graph.name_of()
+    return {
+        (name_of[r["src"]], name_of[r["dst"]])
+        for r in _tr(graph).collect()
+    }

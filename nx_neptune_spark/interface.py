@@ -175,6 +175,9 @@ ALGORITHMS = [
     "is_eulerian",
     "is_semieulerian",
     "has_eulerian_path",
+    "transitive_closure",
+    "transitive_closure_dag",
+    "transitive_reduction",
 ]
 
 
@@ -1658,6 +1661,49 @@ class BackendInterface:
     @staticmethod
     def is_semieulerian(G, **kw):
         return api.is_semieulerian(_lg(G))
+
+    @staticmethod
+    def transitive_closure(G, reflexive=False, **kw):
+        import networkx as nx
+
+        if not G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "undirected transitive_closure is not implemented by the "
+                "spark backend (nx treats it as component cliques)"
+            )
+        back = _back(G)
+        H = G.__class__()
+        H.graph.update(G.graph)
+        H.add_nodes_from(G.nodes(data=True))
+        for a, b in api.transitive_closure_pairs(_lg(G), reflexive=reflexive):
+            H.add_edge(back[a], back[b])
+        return H
+
+    @staticmethod
+    def transitive_closure_dag(G, topo_order=None, **kw):
+        # same output as reflexive=False on a DAG; topo_order is a
+        # performance hint nx uses for its sequential pass
+        return BackendInterface.transitive_closure(G, reflexive=False)
+
+    @staticmethod
+    def transitive_reduction(G, **kw):
+        import networkx as nx
+
+        if not G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "transitive_reduction is not implemented for undirected "
+                "graphs"
+            )
+        back = _back(G)
+        try:
+            pairs = api.transitive_reduction_pairs(_lg(G))
+        except ValueError as exc:
+            raise nx.NetworkXError(str(exc)) from exc
+        H = G.__class__()
+        H.add_nodes_from(G.nodes)
+        for a, b in pairs:
+            H.add_edge(back[a], back[b])
+        return H
 
 
 def get_info() -> dict:

@@ -482,3 +482,20 @@ def test_eulerian_dispatch(spark):
     p = nx.path_graph(4)
     assert nx.has_eulerian_path(p, source=0, backend="spark") == nx.has_eulerian_path(p, source=0)
     assert nx.has_eulerian_path(p, source=1, backend="spark") == nx.has_eulerian_path(p, source=1)
+
+
+def test_transitive_closure_dispatch(spark):
+    g = nx.DiGraph([(0, 1), (1, 2), (2, 0), (3, 4), (5, 5)])
+    for refl in (False, True, None):
+        got = set(nx.transitive_closure(g, reflexive=refl, backend="spark").edges)
+        want = set(nx.transitive_closure(g, reflexive=refl).edges)
+        assert got == want, refl
+    dag = nx.DiGraph([(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)])
+    got_r = set(nx.transitive_reduction(dag, backend="spark").edges)
+    want_r = set(nx.transitive_reduction(dag).edges)
+    assert got_r == want_r
+    got_d = set(nx.transitive_closure_dag(dag, backend="spark").edges)
+    want_d = set(nx.transitive_closure_dag(dag).edges)
+    assert got_d == want_d
+    with pytest.raises(nx.NetworkXError):
+        nx.transitive_reduction(g, backend="spark")
