@@ -108,6 +108,10 @@ MSF_MOD = 4294967296
 BRDG_N = 90
 ONION_ORACLE_ROUNDS = 16
 SIMRANK_ITERS = 6
+# Weighted-closeness oracle unroll: measured relaxation fixpoints 11 /
+# 11 / 14 rounds (incl. the final no-improvement probe) at sf0.001 /
+# 0.01 / 0.1; extra full relaxations past the fixpoint are identities.
+CLOSEW_ORACLE_ROUNDS = 16
 TOPK = 5
 N_QUERIES = 3
 
@@ -2220,6 +2224,25 @@ def q_transitive_reduction(spark, sf_dir):
     )
 
 
+def q_closeness_weighted(spark, sf_dir):
+    """Weighted (Dijkstra-semantics) closeness for sources (0, 7, 23)
+    on the (src+dst)%5+1-weighted pr-graph, incoming distances
+    (operators/closeness.py weighted_closeness_centrality — the
+    distance= form the reference warns-and-ignores). The oracle
+    unrolls CLOSEW_ORACLE_ROUNDS full relaxations over REVERSED
+    weighted edges with (s, vid) state, then applies nx's
+    (reach/sum)·(reach/(n−1)) Wasserman-Faust form."""
+    from nx_neptune_spark.operators.closeness import weighted_closeness_centrality
+
+    g = _pr_graph(spark, sf_dir)
+    we = g.edges.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    lg = LinkGraph(we, g.vertices, directed=True, vids_non_negative=True)
+    res = weighted_closeness_centrality(lg, sources=list(BETW_SOURCES))
+    return res.select("vid", F.round("closeness", 8).alias("closeness"))
+
+
 def q_attr_assortativity(spark, sf_dir):
     """Categorical + numeric attribute assortativity (Newman 2003 Eq.
     2 / Eq. 21; operators/assortativity.py) on the directed pr-graph
@@ -2334,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_assortativity": q_attr_assortativity,
         "transitive_closure": q_transitive_closure,
         "transitive_reduction": q_transitive_reduction,
+        "closeness_weighted": q_closeness_weighted,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -3100,6 +3124,46 @@ pc AS (
   GROUP BY acc.v)
 SELECT i AS vid, round(coalesce(p, 0.0) / (nn.n - 2), 8) AS percolation
 FROM ids LEFT JOIN pc ON pc.vid = i, nn"""
+    )
+    return "".join(parts)
+
+
+def _closeness_weighted_sql(rounds: int = None) -> str:
+    """Unrolled multi-source Bellman-Ford oracle over REVERSED
+    weighted edges (operators/closeness.py
+    weighted_closeness_centrality): per round one full (s, vid)
+    min-relaxation; rounds past the measured fixpoint are identities.
+    Final row per source applies (reach/sum)·(reach/(n−1))."""
+    k_n = rounds if rounds is not None else CLOSEW_ORACLE_ROUNDS
+    srcs = ", ".join(f"({s})" for s in BETW_SOURCES)
+    parts = [
+        "WITH " + _WEIGHTED_GRAPH_CTES.strip().rstrip(",").rstrip(),
+        f""",
+src AS (SELECT * FROM (VALUES {srcs}) AS t(s)),
+d0 AS (SELECT s, CAST(s AS BIGINT) AS vid, 0.0 AS distance FROM src)""",
+    ]
+    for k in range(1, k_n + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT s, vid, min(distance) AS distance FROM (
+    SELECT s, vid, distance FROM d{k - 1}
+    UNION ALL
+    SELECT d.s, e.src AS vid, d.distance + e.w AS distance
+    FROM d{k - 1} d JOIN wedges e ON e.dst = d.vid
+  ) z GROUP BY s, vid)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(a.s AS BIGINT) AS vid,
+       ROUND(CASE WHEN a.tot > 0
+             THEN (a.reach / a.tot) * (a.reach / (nn.n - 1.0))
+             ELSE 0.0 END, 8) AS closeness
+FROM (
+  SELECT s, sum(distance) AS tot,
+         CAST(count(*) - 1 AS DOUBLE) AS reach
+  FROM d{k_n} GROUP BY s) a,
+  (SELECT count(*) AS n FROM ids) nn"""
     )
     return "".join(parts)
 
@@ -5195,6 +5259,7 @@ def oracle_sql() -> dict[str, str]:
         "attr_assortativity": _attr_assortativity_sql(),
         "transitive_closure": _closure_sql(reduction=False),
         "transitive_reduction": _closure_sql(reduction=True),
+        "closeness_weighted": _closeness_weighted_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "label_propagation_weighted": _lpa_sql(weighted=True),

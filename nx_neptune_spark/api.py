@@ -2223,3 +2223,23 @@ def transitive_reduction_pairs(graph: LinkGraph) -> set:
         (name_of[r["src"]], name_of[r["dst"]])
         for r in _tr(graph).collect()
     }
+
+
+def weighted_closeness(
+    graph: LinkGraph, u=None, wf_improved: bool = True
+) -> dict | float:
+    """nx.closeness_centrality(distance=...) parity — the weighted
+    form the reference warns-and-ignores, served by
+    operators/closeness.py weighted_closeness_centrality."""
+    from .operators.closeness import weighted_closeness_centrality as _wc
+
+    graph._guard_adapter("weighted closeness adapters")
+    name_of = graph.name_of()
+    if u is not None:
+        vid = graph.vid_of()[str(u)]
+        rows = _wc(graph, wf_improved=wf_improved, sources=[vid]).collect()
+        return float(rows[0]["closeness"]) if rows else 0.0
+    return {
+        name_of[r["vid"]]: float(r["closeness"])
+        for r in _wc(graph, wf_improved=wf_improved).collect()
+    }

@@ -303,9 +303,17 @@ class BackendInterface:
 
     @staticmethod
     def closeness_centrality(G, u=None, distance=None, wf_improved=True, **kw):
-        res = api.closeness_centrality(
-            _lg(G), u=u, distance=distance, wf_improved=wf_improved, **kw
-        )
+        if distance is not None:
+            # weighted form: a SUPERSET of the reference (which
+            # warns-and-ignores `distance`), served by the batched
+            # multi-source relaxation in operators/closeness.py
+            res = api.weighted_closeness(
+                _weighted_lg(G, distance, False), u=u, wf_improved=wf_improved
+            )
+        else:
+            res = api.closeness_centrality(
+                _lg(G), u=u, distance=None, wf_improved=wf_improved, **kw
+            )
         if u is not None:
             return res
         back = _back(G)

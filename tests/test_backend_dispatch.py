@@ -499,3 +499,15 @@ def test_transitive_closure_dispatch(spark):
     assert got_d == want_d
     with pytest.raises(nx.NetworkXError):
         nx.transitive_reduction(g, backend="spark")
+
+
+def test_weighted_closeness_dispatch(spark):
+    g = two_triangles_bridge()
+    for i, (u, v) in enumerate(g.edges):
+        g[u][v]["w"] = float(i + 1)
+    got = nx.closeness_centrality(g, distance="w", backend="spark")
+    want = nx.closeness_centrality(g, distance="w")
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9)
+    gu = nx.closeness_centrality(g, u="C", distance="w", backend="spark")
+    assert math.isclose(gu, want["C"], rel_tol=1e-9)
