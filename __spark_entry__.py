@@ -2030,6 +2030,25 @@ def q_simrank(spark, sf_dir):
     )
 
 
+def q_dispersion(spark, sf_dir):
+    """Backstrom-Kleinberg dispersion over every oriented adjacent
+    pair of the pinned bridge fixture (operators/dispersion.py) with
+    nx defaults (normalized, alpha=1, b=c=0). Oracle: the identical
+    mutual-neighbor / non-adjacent / no-witness characterization as
+    relational joins in DuckDB."""
+    from nx_neptune_spark.operators.dispersion import dispersion
+
+    g = _bridges_graph(spark, sf_dir)
+    res = dispersion(g)
+    return res.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("total").cast("long").alias("total"),
+        F.col("emb").cast("long").alias("emb"),
+        F.round("dispersion", 8).alias("dispersion"),
+    )
+
+
 def q_bipartite_projection(spark, sf_dir):
     """One-mode bipartite projection with every standard weight in one
     wedge aggregate (operators/bipartite.py bipartite_projection; nx
@@ -2347,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": q_onion_layers,
         "bipartite_projection": q_bipartite_projection,
         "simrank": q_simrank,
+        "dispersion": q_dispersion,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2869,6 +2889,56 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        ROUND(sim, 8) AS sim FROM s{k_n}"""
     )
     return "".join(parts)
+
+
+def _dispersion_sql() -> str:
+    """Relational dispersion oracle (operators/dispersion.py): mutual
+    neighbors via a two-hop join, candidate pairs via a keyed
+    self-join, the adjacency test as NOT EXISTS against the canonical
+    edge set, the witness test as NOT EXISTS over the
+    (u,w)(w,s)(w,t) chain; nx defaults (normalized, alpha=1,
+    b=c=0)."""
+    return (
+        "WITH RECURSIVE "
+        + _BRDG_RAW_SQL.format(n=BRDG_N).strip()
+        + """,
+sym AS MATERIALIZED (
+  SELECT u AS x, v AS y FROM ce UNION ALL SELECT v, u FROM ce),
+stt AS MATERIALIZED (
+  SELECT p.x AS u, p.y AS v, n1.y AS s
+  FROM sym p
+  JOIN sym n1 ON n1.x = p.x
+  JOIN sym n2 ON n2.x = p.y AND n2.y = n1.y
+  WHERE n1.y <> p.y),
+emb AS MATERIALIZED (SELECT u, v, count(*) AS emb FROM stt GROUP BY u, v),
+prs AS MATERIALIZED (
+  SELECT l.u, l.v, l.s AS s, r.s AS t
+  FROM stt l JOIN stt r ON r.u = l.u AND r.v = l.v AND l.s < r.s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ce
+    WHERE ce.u = least(l.s, r.s) AND ce.v = greatest(l.s, r.s))),
+wit AS MATERIALIZED (
+  SELECT DISTINCT p.u, p.v, p.s, p.t
+  FROM prs p
+  JOIN sym w ON w.x = p.u AND w.y <> p.v
+  JOIN sym ws ON ws.x = w.y AND ws.y = p.s
+  JOIN sym wt ON wt.x = w.y AND wt.y = p.t),
+tot AS MATERIALIZED (
+  SELECT u, v, count(*) AS total FROM prs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wit
+    WHERE wit.u = p.u AND wit.v = p.v AND wit.s = p.s AND wit.t = p.t)
+  GROUP BY u, v)
+SELECT CAST(b.x AS BIGINT) AS u, CAST(b.y AS BIGINT) AS v,
+       CAST(coalesce(t.total, 0) AS BIGINT) AS total,
+       CAST(coalesce(e.emb, 0) AS BIGINT) AS emb,
+       ROUND(CASE WHEN coalesce(e.emb, 0) <> 0
+             THEN pow(coalesce(t.total, 0) + 0.0, 1.0) / coalesce(e.emb, 0)
+             ELSE pow(coalesce(t.total, 0) + 0.0, 1.0) END, 8) AS dispersion
+FROM sym b
+LEFT JOIN emb e ON e.u = b.x AND e.v = b.y
+LEFT JOIN tot t ON t.u = b.x AND t.v = b.y"""
+    )
 
 
 def _bipartite_projection_sql() -> str:
@@ -5249,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
         "onion_layers": _onion_sql(),
         "bipartite_projection": _bipartite_projection_sql(),
         "simrank": _simrank_sql(),
+        "dispersion": _dispersion_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

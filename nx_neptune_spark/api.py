@@ -2243,3 +2243,20 @@ def weighted_closeness(
         name_of[r["vid"]]: float(r["closeness"])
         for r in _wc(graph, wf_improved=wf_improved).collect()
     }
+
+
+def dispersion_table(
+    graph: LinkGraph, normalized=True, alpha=1.0, b=0.0, c=0.0
+) -> dict:
+    """{(u_name, v_name): dispersion} over every oriented adjacent
+    pair (operators/dispersion.py)."""
+    from .operators.dispersion import dispersion as _disp
+
+    graph._guard_adapter("dispersion adapters")
+    name_of = graph.name_of()
+    return {
+        (name_of[r["u"]], name_of[r["v"]]): float(r["dispersion"])
+        for r in _disp(
+            graph, normalized=normalized, alpha=alpha, b=b, c=c
+        ).collect()
+    }

@@ -178,6 +178,7 @@ ALGORITHMS = [
     "transitive_closure",
     "transitive_closure_dag",
     "transitive_reduction",
+    "dispersion",
 ]
 
 
@@ -1712,6 +1713,31 @@ class BackendInterface:
         for a, b in pairs:
             H.add_edge(back[a], back[b])
         return H
+
+    @staticmethod
+    def dispersion(G, u=None, v=None, normalized=True, alpha=1.0, b=0.0, c=0.0, **kw):
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "dispersion is not implemented for directed graphs by the "
+                "spark backend"
+            )
+        back = _back(G)
+        table = api.dispersion_table(
+            _lg(G), normalized=normalized, alpha=alpha, b=b, c=c
+        )
+        full: dict = {n: {} for n in G}
+        for (a, bb), x in table.items():
+            full[back[a]][back[bb]] = x
+        if u is None and v is None:
+            return full
+        if u is None:
+            # nx: for v specified, results[u] = dispersion(v, u)
+            return {uu: full[v][uu] for uu in G[v]}
+        if v is None:
+            return dict(full[u])
+        return full[u][v]
 
 
 def get_info() -> dict:

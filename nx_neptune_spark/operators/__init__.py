@@ -106,3 +106,4 @@ from .percolation import percolation_centrality  # noqa: F401
 from .simrank import simrank_similarity  # noqa: F401
 from .load import load_centrality  # noqa: F401
 from .closure import transitive_closure, transitive_reduction  # noqa: F401
+from .dispersion import dispersion  # noqa: F401

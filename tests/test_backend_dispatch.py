@@ -511,3 +511,22 @@ def test_weighted_closeness_dispatch(spark):
         assert math.isclose(got[k], want[k], rel_tol=1e-9)
     gu = nx.closeness_centrality(g, u="C", distance="w", backend="spark")
     assert math.isclose(gu, want["C"], rel_tol=1e-9)
+
+
+def test_dispersion_dispatch(spark):
+    g = nx.barbell_graph(4, 1)
+    got = nx.dispersion(g, backend="spark")
+    want = nx.dispersion(g)
+    assert set(got) == set(want)
+    for u in want:
+        assert set(got[u]) == set(want[u])
+        for v in want[u]:
+            assert math.isclose(got[u][v], want[u][v], rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(
+        nx.dispersion(g, u=0, v=1, backend="spark"), nx.dispersion(g, u=0, v=1),
+        rel_tol=1e-9, abs_tol=1e-12,
+    )
+    gu = nx.dispersion(g, u=0, backend="spark")
+    wu = nx.dispersion(g, u=0)
+    for v in wu:
+        assert math.isclose(gu[v], wu[v], rel_tol=1e-9, abs_tol=1e-12)
