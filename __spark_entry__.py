@@ -1533,6 +1533,24 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_cross_doc_chunks(spark, sf_dir):
+    """CCNet-style cross-document chunk-dedup signal
+    (operators/dedup.py cross_doc_chunk_stats): per document, the
+    fraction of its distinct 8-token chunks that also occur in other
+    documents — ONE map-side-combined chunk-hash aggregate + one join
+    back (the corpus-level dedup topology, vs the per-document Gopher
+    arrays). Oracle: identical md5 chunking relationally in DuckDB."""
+    from nx_neptune_spark.operators.dedup import cross_doc_chunk_stats
+
+    res = cross_doc_chunk_stats(_docs(spark, sf_dir))
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "dup_chunks",
+        F.round("dup_chunk_frac", 8).alias("dup_chunk_frac"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher repetition filters (Rae et al. 2021 Table A1 subset;
     functions/text.py): duplicate-line fractions, top 2/3-gram char
@@ -2445,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash60_pairs": q_simhash60_pairs,
         "token_stats": q_token_stats,
         "gopher_quality": q_gopher_quality,
+        "cross_doc_chunks": q_cross_doc_chunks,
         "quality_language": q_quality_language,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
@@ -5432,6 +5451,27 @@ def oracle_sql() -> dict[str, str]:
             " length(text) AS n_chars_actual FROM documents"
         ),
         "gopher_quality": _gopher_sql(),
+        "cross_doc_chunks": (
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+            " FROM documents),"
+            " ch AS (SELECT DISTINCT doc_id,"
+            "  md5(array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS h"
+            "  FROM (SELECT doc_id, ws,"
+            "        unnest(range(0, CAST(ceil(len(ws)/8.0) AS INT))) AS i"
+            "        FROM toks WHERE len(ws) > 0) z),"
+            " fr AS (SELECT h, count(*) AS ndocs FROM ch GROUP BY h),"
+            " pd AS (SELECT doc_id, count(*) AS n_chunks,"
+            "  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS dup_chunks"
+            "  FROM ch JOIN fr USING (h) GROUP BY doc_id)"
+            " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+            " CAST(coalesce(pd.n_chunks, 0) AS BIGINT) AS n_chunks,"
+            " CAST(coalesce(pd.dup_chunks, 0) AS BIGINT) AS dup_chunks,"
+            " ROUND(CASE WHEN coalesce(pd.n_chunks, 0) > 0"
+            "  THEN pd.dup_chunks / CAST(pd.n_chunks AS DOUBLE)"
+            "  ELSE 0.0 END, 8) AS dup_chunk_frac"
+            " FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"
+        ),
         "quality_language": _quality_sql(),
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fp,"

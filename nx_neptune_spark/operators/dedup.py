@@ -411,3 +411,74 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def cross_doc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style cross-document chunk deduplication signal
+    (Wenzek et al., LREC 2020 — CCNet dedups Common Crawl at the
+    PARAGRAPH level across the whole corpus; the fixture's documents
+    are single-line, so the unit here is a deterministic
+    ``chunk_tokens``-token chunk, the same device at the same plan
+    shape).
+
+    Returns DataFrame(doc_id, n_chunks, dup_chunks, dup_chunk_frac):
+    dup_chunks counts this document's chunks whose md5 ALSO occurs in
+    at least one OTHER document.
+
+    Plan (unlike the per-document Gopher filters, this one is a real
+    corpus-level shuffle): explode chunks (one narrow pass), ONE
+    map-side-combined aggregate keyed by chunk hash counting documents
+    per chunk, one join back, one per-document aggregate. At 100 TB
+    this is exactly the CCNet dedup topology — the chunk-hash
+    aggregate is the only wide exchange and it combines map-side."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            )
+        ),
+    )
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.when(F.size(toks) > 0, chunks).otherwise(
+                F.array().cast("array<string>")
+            )).alias("h"),
+        )
+        # one row per (doc, chunk-hash): a chunk repeated WITHIN a doc
+        # counts once toward the cross-doc test, matching CCNet's
+        # per-paragraph-identity semantics
+        .distinct()
+    )
+    freq = exploded.groupBy("h").agg(
+        F.count("*").alias("ndocs")
+    )
+    per_doc = (
+        exploded.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("dup_chunks"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+        F.when(
+            F.coalesce("n_chunks", F.lit(0)) > 0,
+            F.col("dup_chunks") / F.col("n_chunks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_chunk_frac"),
+    )

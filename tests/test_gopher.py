@@ -67,3 +67,23 @@ def test_short_docs_no_ngrams(spark):
     # fewer tokens than n -> zero fractions, no nulls
     r = _stats(spark, "single")
     assert r["top"] == 0.0 and r["dup"] == 0.0
+
+
+def test_cross_doc_chunk_stats(spark):
+    from nx_neptune_spark.operators.dedup import cross_doc_chunk_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y"),      # chunk1 shared with doc 2
+            (2, "a b c d e f g h q r"),
+            (3, "totally different words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_chunk_stats(docs).collect()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["dup_chunks"] == 1
+    assert rows[2]["n_chunks"] == 2 and rows[2]["dup_chunks"] == 1
+    assert rows[3]["dup_chunks"] == 0
+    assert rows[4]["n_chunks"] == 0 and rows[4]["dup_chunk_frac"] == 0.0
+    assert abs(rows[1]["dup_chunk_frac"] - 0.5) < 1e-12
