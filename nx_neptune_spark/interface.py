@@ -179,6 +179,7 @@ ALGORITHMS = [
     "transitive_closure_dag",
     "transitive_reduction",
     "dispersion",
+    "girvan_newman",
 ]
 
 
@@ -1738,6 +1739,51 @@ class BackendInterface:
         if v is None:
             return dict(full[u])
         return full[u][v]
+
+    @staticmethod
+    def girvan_newman(G, most_valuable_edge=None, **kw):
+        # Each divisive level: repeatedly remove the highest
+        # edge-betweenness edge (OUR exact batched-Brandes operator,
+        # all pivots) until the component count grows, then yield the
+        # components (our star-contraction CC). Ties broken by
+        # (score, u, v) — deterministic where nx's dict-order max is
+        # not; parity holds on tie-free graphs.
+        import networkx as nx
+
+        # nx: the working graph is the UNDIRECTED copy, self-loops
+        # dropped; an edgeless graph yields its components once
+        H = G.copy().to_undirected()
+        H.remove_edges_from(nx.selfloop_edges(H))
+
+        def _most_valuable(h):
+            if most_valuable_edge is not None:
+                return most_valuable_edge(h)
+            vals = api.edge_betweenness_centrality(_lg(h))
+            back = _back(h)
+            best = max(vals.items(), key=lambda kv: (kv[1], kv[0]))
+            return (back[best[0][0]], back[best[0][1]])
+
+        def _components(h):
+            back = _back(h)
+            return tuple(
+                {back[n] for n in c}
+                for c in api.connected_components(_lg(h))
+            )
+
+        def _levels():
+            if H.number_of_edges() == 0:
+                yield _components(H)
+                return
+            while H.number_of_edges() > 0:
+                base = len(_components(H))
+                ncomp = base
+                while ncomp <= base:
+                    H.remove_edge(*_most_valuable(H))
+                    comps = _components(H)
+                    ncomp = len(comps)
+                yield comps
+
+        return _levels()
 
 
 def get_info() -> dict:

@@ -530,3 +530,29 @@ def test_dispersion_dispatch(spark):
     wu = nx.dispersion(g, u=0)
     for v in wu:
         assert math.isclose(gu[v], wu[v], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_girvan_newman_dispatch(spark):
+    import itertools
+
+    # level 1 has a unique max edge (the barbell bridge); deeper
+    # levels are tie-dependent (nx breaks ties by dict order, the
+    # backend by (score, edge) — both valid GN hierarchies)
+    g = nx.barbell_graph(4, 0)
+    got = next(iter(nx.community.girvan_newman(g, backend="spark")))
+    want = next(iter(nx.community.girvan_newman(g)))
+    assert {frozenset(c) for c in got} == {frozenset(c) for c in want}
+    # custom most_valuable_edge: fully deterministic, 2 levels
+    def mve(h):
+        return max(h.edges, key=lambda e: (h.degree(e[0]) + h.degree(e[1]), e))
+
+    got2 = list(
+        itertools.islice(
+            nx.community.girvan_newman(g, most_valuable_edge=mve, backend="spark"), 2
+        )
+    )
+    want2 = list(
+        itertools.islice(nx.community.girvan_newman(g, most_valuable_edge=mve), 2)
+    )
+    for gl, wl in zip(got2, want2):
+        assert {frozenset(c) for c in gl} == {frozenset(c) for c in wl}
