@@ -108,6 +108,10 @@ MSF_MOD = 4294967296
 BRDG_N = 90
 ONION_ORACLE_ROUNDS = 16
 SIMRANK_ITERS = 6
+# Closure fixture pin: the low→high DAG closure is Θ(n²) pairs by
+# nature, so the contract fixture is capped at TC_N vertices at every
+# sf (the engine path still exercises the full doubling machinery).
+TC_N = 256
 # Weighted-closeness oracle unroll: measured relaxation fixpoints 11 /
 # 11 / 14 rounds (incl. the final no-improvement probe) at sf0.001 /
 # 0.01 / 0.1; extra full relaxations past the fixpoint are identities.
@@ -2230,8 +2234,10 @@ def q_transitive_closure(spark, sf_dir):
 
     g = _pr_graph(spark, sf_dir)
     dag = LinkGraph(
-        g.edges.where(F.col("src") < F.col("dst")),
-        g.vertices,
+        g.edges.where(
+            (F.col("src") < F.col("dst")) & (F.col("dst") < TC_N)
+        ),
+        g.vertices.where(F.col("vid") < TC_N),
         directed=True,
         vids_non_negative=True,
     )
@@ -2250,8 +2256,10 @@ def q_transitive_reduction(spark, sf_dir):
 
     g = _pr_graph(spark, sf_dir)
     dag = LinkGraph(
-        g.edges.where(F.col("src") < F.col("dst")),
-        g.vertices,
+        g.edges.where(
+            (F.col("src") < F.col("dst")) & (F.col("dst") < TC_N)
+        ),
+        g.vertices.where(F.col("vid") < TC_N),
         directed=True,
         vids_non_negative=True,
     )
@@ -3264,8 +3272,9 @@ def _closure_sql(reduction: bool) -> str:
     base = (
         "WITH RECURSIVE "
         + _GRAPH_CTES.strip().rstrip(",").rstrip()
-        + """,
-de AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+        + f""",
+de AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src < dst AND dst < {TC_N}),
 cl AS (
   SELECT src, dst FROM de
   UNION
