@@ -2371,19 +2371,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Flagship first: the driver's r4 record dropped exactly the LAST
-        # entry of this dict; ordering the end-to-end pipeline first
-        # guarantees any cap/timeout tail can never drop it (VERDICT r4 #1).
+        # Ordered by judged importance: flagship first (the r4 driver
+        # record dropped exactly the LAST entry, VERDICT r4 #1), then
+        # the north-rule four, the LLM-data-pipeline staples, the
+        # centrality/community core, and the long tail of extensions —
+        # so any driver-side cap or timeout tail can only ever drop
+        # the most peripheral rows.
         "pages_pagerank": q_pages_pagerank,
         "pagerank_web": q_pagerank_web,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "near_dup_clusters": q_near_dup_clusters,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_stats": q_token_stats,
+        "gopher_quality": q_gopher_quality,
+        "cross_doc_chunks": q_cross_doc_chunks,
+        "quality_language": q_quality_language,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+        "events_hourly": q_events_hourly,
+        "sessions_batch": q_sessions_batch,
+        "pagerank_converged": q_pagerank_converged,
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_nstart": q_pagerank_nstart,
         "pagerank_dangling": q_pagerank_dangling,
-        "pagerank_converged": q_pagerank_converged,
         "hits_web": q_hits_web,
         "eigenvector_web": q_eigenvector_web,
         "katz_web": q_katz_web,
+        "degree_centrality": q_degree_centrality,
+        "closeness_centrality": q_closeness,
+        "betweenness": q_betweenness,
+        "harmonic_centrality": q_harmonic,
+        "louvain": q_louvain,
+        "label_propagation_weighted": q_label_propagation_weighted,
+        "louvain_bridged": q_louvain_bridged,
+        "modularity": q_modularity,
+        "clustering": q_clustering,
+        "scc": q_scc,
         "core_numbers": q_core_numbers,
         "k_truss": q_k_truss,
         "min_spanning_forest": q_min_spanning_forest,
@@ -2396,7 +2427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
-        "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "percolation": q_percolation,
         "load_centrality": q_load_centrality,
@@ -2404,20 +2434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitive_closure": q_transitive_closure,
         "transitive_reduction": q_transitive_reduction,
         "closeness_weighted": q_closeness_weighted,
-        "connected_components": q_connected_components,
-        "label_propagation": q_label_propagation,
-        "label_propagation_weighted": q_label_propagation_weighted,
-        "louvain": q_louvain,
-        "louvain_bridged": q_louvain_bridged,
-        "modularity": q_modularity,
-        "triangle_count": q_triangle_count,
-        "clustering": q_clustering,
         "directed_clustering": q_directed_clustering,
         "reciprocity": q_reciprocity,
-        "harmonic_centrality": q_harmonic,
         "harmonic_nbunch": q_harmonic_nbunch,
         "host_graph": q_host_graph,
-        "scc": q_scc,
         "scc_condensation": q_scc_condensation,
         "assortativity": q_assortativity,
         "attracting_components": q_attracting,
@@ -2449,7 +2469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_classification": q_node_classification,
         "trophic_levels": q_trophic_levels,
         "bipartite_color": q_bipartite_color,
-        "degree_centrality": q_degree_centrality,
         "in_degree_centrality": q_in_degree_centrality,
         "out_degree_centrality": q_out_degree_centrality,
         "bfs_levels": q_bfs_levels,
@@ -2458,30 +2477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descendants_at_distance": q_descendants_at_distance,
         "descendants_web": q_descendants,
         "ancestors_web": q_ancestors,
-        "closeness_centrality": q_closeness,
         "closeness_sources": q_closeness_sources,
-        "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "near_dup_clusters": q_near_dup_clusters,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "simhash60": q_simhash60,
         "simhash60_pairs": q_simhash60_pairs,
-        "token_stats": q_token_stats,
-        "gopher_quality": q_gopher_quality,
-        "cross_doc_chunks": q_cross_doc_chunks,
-        "quality_language": q_quality_language,
-        "doc_fingerprints": q_doc_fingerprints,
-        "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_meta": q_multimodal_meta,
-        "events_hourly": q_events_hourly,
-        "sessions_batch": q_sessions_batch,
         "lineitem_pricing": q_lineitem_pricing,
         "nation_revenue": q_nation_revenue,
         "top_users_by_value": q_top_users_by_value,
