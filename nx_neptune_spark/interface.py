@@ -180,6 +180,7 @@ ALGORITHMS = [
     "transitive_reduction",
     "dispersion",
     "girvan_newman",
+    "efficiency",
 ]
 
 
@@ -1784,6 +1785,21 @@ class BackendInterface:
                 yield comps
 
         return _levels()
+
+    @staticmethod
+    def efficiency(G, u, v, **kw):
+        # nx.efficiency: 1/d(u,v), 0 when unreachable; undirected only
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "efficiency is not implemented for directed graphs"
+            )
+        lengths = api.single_source_shortest_path_length(_lg(G), str(u))
+        d = lengths.get(str(v))
+        if d is None:
+            return 0  # nx: NetworkXNoPath -> 0
+        return 1 / d  # u == v: ZeroDivisionError, exactly like nx
 
 
 def get_info() -> dict:

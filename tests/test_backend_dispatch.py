@@ -556,3 +556,11 @@ def test_girvan_newman_dispatch(spark):
     )
     for gl, wl in zip(got2, want2):
         assert {frozenset(c) for c in gl} == {frozenset(c) for c in wl}
+
+
+def test_efficiency_dispatch(spark):
+    g = nx.disjoint_union(nx.path_graph(4), nx.path_graph(2))
+    assert nx.efficiency(g, 0, 3, backend="spark") == nx.efficiency(g, 0, 3)
+    assert nx.efficiency(g, 0, 5, backend="spark") == nx.efficiency(g, 0, 5) == 0
+    with pytest.raises(ZeroDivisionError):
+        nx.efficiency(g, 2, 2, backend="spark")
