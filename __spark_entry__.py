@@ -2071,6 +2071,23 @@ def q_dispersion(spark, sf_dir):
     )
 
 
+def q_generalized_degree(spark, sf_dir):
+    """Per-vertex histogram of incident-edge triangle multiplicities
+    (nx.generalized_degree parity; operators/ktruss.py
+    generalized_degree) on the circulant+clique truss fixture — ring
+    chords at support 1, clique edges at support 8+. Oracle: one 3-way
+    triangle join + 3-corner explode + (vid, t) count in DuckDB."""
+    from nx_neptune_spark.operators.ktruss import generalized_degree
+
+    g = _truss_graph(spark, sf_dir)
+    res = generalized_degree(g)
+    return res.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("t").cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_bipartite_projection(spark, sf_dir):
     """One-mode bipartite projection with every standard weight in one
     wedge aggregate (operators/bipartite.py bipartite_projection; nx
@@ -2424,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": q_bipartite_projection,
         "simrank": q_simrank,
         "dispersion": q_dispersion,
+        "generalized_degree": q_generalized_degree,
         "sssp_weighted": q_sssp_weighted,
         "link_prediction": q_link_prediction,
         "link_prediction_community": q_link_prediction_community,
@@ -2919,6 +2937,43 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        ROUND(sim, 8) AS sim FROM s{k_n}"""
     )
     return "".join(parts)
+
+
+def _generalized_degree_sql() -> str:
+    """Relational generalized-degree oracle (operators/ktruss.py
+    generalized_degree) over the SAME circulant+clique fixture as
+    _ktruss_sql: triangles (a<b<c) via one 3-way self-join, per-edge
+    support over the 3 exploded corners (support-0 edges kept via a
+    left join), endpoints exploded, (vid, t) counted."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+raw AS (
+  SELECT i AS src, (i+1) % c AS dst FROM ids, n
+  UNION ALL SELECT i, (i+2) % c FROM ids, n
+  UNION ALL SELECT a.i, b.i FROM ids a JOIN ids b
+    ON a.i < 10 AND b.i < 10 AND a.i < b.i
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+t AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS u, b AS v FROM t
+  UNION ALL SELECT a, c FROM t
+  UNION ALL SELECT b, c FROM t),
+sup AS MATERIALIZED (
+  SELECT e.u, e.v, coalesce(s.c, 0) AS t FROM e0 e
+  LEFT JOIN (SELECT u, v, count(*) AS c FROM corners GROUP BY u, v) s
+    ON s.u = e.u AND s.v = e.v),
+ends AS (
+  SELECT u AS vid, t FROM sup UNION ALL SELECT v, t FROM sup)
+SELECT CAST(vid AS BIGINT) AS vid, CAST(t AS BIGINT) AS t,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ends GROUP BY vid, t"""
 
 
 def _dispersion_sql() -> str:
@@ -5351,6 +5406,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_projection": _bipartite_projection_sql(),
         "simrank": _simrank_sql(),
         "dispersion": _dispersion_sql(),
+        "generalized_degree": _generalized_degree_sql(),
         "sssp_weighted": _sssp_sql(),
         "link_prediction": _linkpred_sql(),
         "link_prediction_community": _linkpred_community_sql(),

@@ -2260,3 +2260,16 @@ def dispersion_table(
             graph, normalized=normalized, alpha=alpha, b=b, c=c
         ).collect()
     }
+
+
+def generalized_degree_dict(graph: LinkGraph) -> dict:
+    """nx.generalized_degree-shaped {name: {t: count}} dict
+    (operators/ktruss.py generalized_degree)."""
+    from .operators.ktruss import generalized_degree as _gd
+
+    graph._guard_adapter("generalized-degree adapters")
+    name_of = graph.name_of()
+    out: dict = {name_of[v]: {} for v in name_of}
+    for r in _gd(graph).collect():
+        out[name_of[r["vid"]]][int(r["t"])] = int(r["cnt"])
+    return out

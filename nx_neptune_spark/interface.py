@@ -181,6 +181,7 @@ ALGORITHMS = [
     "dispersion",
     "girvan_newman",
     "efficiency",
+    "generalized_degree",
 ]
 
 
@@ -1800,6 +1801,25 @@ class BackendInterface:
         if d is None:
             return 0  # nx: NetworkXNoPath -> 0
         return 1 / d  # u == v: ZeroDivisionError, exactly like nx
+
+    @staticmethod
+    def generalized_degree(G, nodes=None, **kw):
+        from collections import Counter
+
+        import networkx as nx
+
+        if G.is_directed():
+            raise nx.NetworkXNotImplemented(
+                "generalized_degree is not implemented for directed graphs"
+            )
+        back = _back(G)
+        table = api.generalized_degree_dict(_lg(G))
+        full = {back[n]: Counter(c) for n, c in table.items()}
+        if nodes is None:
+            return full
+        if nodes in G:
+            return full[nodes]
+        return {n: full[n] for n in nodes}
 
 
 def get_info() -> dict:

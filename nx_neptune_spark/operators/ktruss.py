@@ -119,3 +119,54 @@ def k_truss(
     if stats is not None:
         stats.update(rounds=rounds, converged=converged)
     return edges
+
+
+def edge_triangle_support(graph: LinkGraph) -> DataFrame:
+    """DataFrame(u, v, sup): per canonical edge (u < v), the number of
+    triangles it participates in (support 0 edges included) — the
+    k-truss round's support aggregate exposed as a one-shot operator."""
+    from pyspark import StorageLevel
+
+    from .triangles import _oriented_edges, triangle_list
+
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    canon = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    cur = LinkGraph(
+        canon.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        graph.vertices,
+        directed=False,
+    )
+    oriented = _oriented_edges(cur).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tris = triangle_list(cur, oriented=oriented)
+        support = (
+            tris.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionAll(tris.select(F.col("x").alias("u"), F.col("z").alias("v")))
+            .unionAll(tris.select(F.col("y").alias("u"), F.col("z").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+        )
+        out = (
+            canon.join(support, ["u", "v"], "left")
+            .select("u", "v", F.coalesce("sup", F.lit(0)).alias("sup"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        oriented.unpersist()
+    return out
+
+
+def generalized_degree(graph: LinkGraph) -> DataFrame:
+    """DataFrame(vid, t, cnt): for each vertex, how many of its
+    incident edges participate in exactly t triangles
+    (``nx.generalized_degree`` Counter parity; vertices with no edges
+    have no rows — the adapter re-adds empty Counters). One explode of
+    the support table to both endpoints + one (vid, t) aggregate on
+    top of the triangle-support pass."""
+    sup = edge_triangle_support(graph)
+    both = sup.select(F.col("u").alias("vid"), F.col("sup").alias("t")).unionAll(
+        sup.select(F.col("v").alias("vid"), F.col("sup").alias("t"))
+    )
+    return both.groupBy("vid", "t").agg(F.count("*").alias("cnt"))

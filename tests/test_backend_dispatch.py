@@ -564,3 +564,15 @@ def test_efficiency_dispatch(spark):
     assert nx.efficiency(g, 0, 5, backend="spark") == nx.efficiency(g, 0, 5) == 0
     with pytest.raises(ZeroDivisionError):
         nx.efficiency(g, 2, 2, backend="spark")
+
+
+def test_generalized_degree_dispatch(spark):
+    g = two_triangles_bridge()
+    got = nx.generalized_degree(g, backend="spark")
+    want = nx.generalized_degree(g)
+    assert {k: dict(v) for k, v in got.items()} == {
+        k: dict(v) for k, v in want.items()
+    }
+    assert dict(nx.generalized_degree(g, nodes="C", backend="spark")) == dict(
+        nx.generalized_degree(g, nodes="C")
+    )
