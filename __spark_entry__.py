@@ -1546,7 +1546,9 @@ def q_cross_doc_chunks(spark, sf_dir):
     arrays). Oracle: identical md5 chunking relationally in DuckDB."""
     from nx_neptune_spark.operators.dedup import cross_doc_chunk_stats
 
-    res = cross_doc_chunk_stats(_docs(spark, sf_dir))
+    res = cross_doc_chunk_stats(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    )
     return res.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_chunks",
@@ -1575,7 +1577,13 @@ def q_gopher_quality(spark, sf_dir):
     t = F.when(
         F.col("doc_id") % 3 == 0, F.concat_ws("\n", "text", "text")
     ).otherwise(F.col("text"))
-    d = _docs(spark, sf_dir).select("doc_id", t.alias("t"))
+    # the sf fixtures are single parquet files -> one scan partition;
+    # spread the per-document O(L log L) scans across the cores
+    d = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", t.alias("t"))
+    )
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(F.coalesce(dup_line_frac(F.col("t")), F.lit(0.0)), 8).alias(

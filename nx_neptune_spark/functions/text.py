@@ -154,18 +154,77 @@ def _ngrams(ws: Column, n: int) -> Column:
     )
 
 
-def _ngram_counts(ws: Column, n: int) -> Column:
-    """array<struct<c,l,g>>: per DISTINCT n-gram its count, char
-    length (spaces included) and the gram itself."""
-    g = _ngrams(ws, n)
-    return F.transform(
-        F.array_distinct(g),
-        lambda x: F.struct(
-            F.size(F.filter(g, lambda y: y == x)).alias("c"),
-            F.length(x).alias("l"),
-            x.alias("g"),
-        ),
+def _ngram_scan(ws: Column, n: int) -> Column:
+    """struct<has: boolean, top: bigint, dup: bigint>: top = count·len
+    of the most frequent n-gram (ties broken by (count, len, gram)
+    max), dup = Σ count·len over n-grams with count >= 2.
+
+    ONE pass over the SORTED gram array (run-length scan via
+    ``aggregate``) instead of the naive distinct×filter nest — the
+    nested form re-evaluates the gram array (and its underlying
+    split) once per distinct gram under interpreted higher-order
+    evaluation, turning O(L) documents into O(L²) regex work; the
+    sorted scan evaluates the array exactly once."""
+    g = F.array_sort(_ngrams(ws, n))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).cast("int").alias("l"),
+            F.lit("").alias("g"),
+        ).alias("best"),
+        F.lit(0).cast("long").alias("dup"),
     )
+
+    def _fold(acc, x):
+        run_done = F.struct(
+            acc["run"].alias("c"),
+            F.length(acc["prev"]).alias("l"),
+            acc["prev"].alias("g"),
+        )
+        new_best = F.when(
+            (acc["run"] > 0) & (run_done > acc["best"]), run_done
+        ).otherwise(acc["best"])
+        new_dup = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0))
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["best"].alias("best"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                new_best.alias("best"),
+                new_dup.alias("dup"),
+            )
+        )
+
+    def _finish(acc):
+        run_done = F.struct(
+            acc["run"].alias("c"),
+            F.length(acc["prev"]).alias("l"),
+            acc["prev"].alias("g"),
+        )
+        best = F.when(
+            (acc["run"] > 0) & (run_done > acc["best"]), run_done
+        ).otherwise(acc["best"])
+        dup = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0))
+        return F.struct(
+            (acc["run"] > 0).alias("has"),
+            (best["c"] * best["l"]).cast("long").alias("top"),
+            dup.cast("long").alias("dup"),
+        )
+
+    return F.aggregate(g, zero, _fold, _finish)
 
 
 def dup_line_frac(text: Column) -> Column:
@@ -189,29 +248,18 @@ def dup_line_char_frac(text: Column) -> Column:
 
 def top_ngram_char_frac(text: Column, n: int, max_tokens: int = 2048) -> Column:
     ws = _gopher_words(text, max_tokens)
-    counts = _ngram_counts(ws, n)
-    top = F.array_max(counts)  # struct order: (count, len, gram)
+    scan = _ngram_scan(ws, n)
     tot = F.length(F.array_join(ws, " "))
-    frac = (top["c"] * top["l"]) / F.nullif(tot.cast("double"), F.lit(0.0))
-    return F.when(F.size(counts) > 0, F.least(frac, F.lit(1.0))).otherwise(
-        F.lit(0.0)
-    )
+    frac = scan["top"] / F.nullif(tot.cast("double"), F.lit(0.0))
+    return F.when(scan["has"], F.least(frac, F.lit(1.0))).otherwise(F.lit(0.0))
 
 
 def dup_ngram_char_frac(text: Column, n: int, max_tokens: int = 2048) -> Column:
     ws = _gopher_words(text, max_tokens)
-    counts = _ngram_counts(ws, n)
-    cov = F.aggregate(
-        counts,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["c"] >= 2, s["c"] * s["l"]).otherwise(F.lit(0)),
-    )
+    scan = _ngram_scan(ws, n)
     tot = F.length(F.array_join(ws, " "))
-    frac = cov / F.nullif(tot.cast("double"), F.lit(0.0))
-    return F.when(F.size(counts) > 0, F.least(frac, F.lit(1.0))).otherwise(
-        F.lit(0.0)
-    )
+    frac = scan["dup"] / F.nullif(tot.cast("double"), F.lit(0.0))
+    return F.when(scan["has"], F.least(frac, F.lit(1.0))).otherwise(F.lit(0.0))
 
 
 def gopher_repetition_pass(
