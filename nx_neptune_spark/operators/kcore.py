@@ -48,12 +48,19 @@ graphs). No driver-side state beyond the per-round changed count.
 
 from __future__ import annotations
 
+import time
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from ..plans.checkpoint import (
+    CheckpointManager,
+    IterationMetrics,
+    release_local_checkpoint,
+    strip_plan_stats,
+)
 
 
 def _neighbor_table(graph: LinkGraph, drop_self_loops: bool) -> DataFrame:
@@ -103,22 +110,37 @@ def core_number(
                 "core_number: graph has self-loops (NetworkX parity: "
                 "nx.core_number raises); pass drop_self_loops=True to strip"
             )
-    nbrs = _neighbor_table(graph, drop_self_loops).persist(
-        StorageLevel.MEMORY_AND_DISK
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The neighbor table is SYMMETRIC by construction ((v,u) present iff
+    # (u,v) is, both for the directed both-directions union and the
+    # undirected symmetric view), so every per-round join below can key
+    # on the pre-partitioned ``vid`` side: persisting ONE copy hash-
+    # partitioned on vid removes the two full |2E|-row shuffles the loop
+    # previously paid per round (guide §2.4 — share one exchange), and
+    # neighbors-of-changed is read off the SAME copy (select nb where
+    # vid ∈ changed ≡ select vid where nb ∈ changed).
+    nbrs = (
+        _neighbor_table(graph, drop_self_loops)
+        .repartition(npart, "vid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     cp = checkpoint or CheckpointManager(spark, algorithm="core_number")
     deg = nbrs.groupBy("vid").agg(F.count("*").alias("core"))
-    cores = cp.truncate(
+    # every state/overlay leaf is stats-stripped: the round plan
+    # references the state TWICE (cv + nc attach), which would square
+    # the propagated sizeInBytes estimate each round — see
+    # plans.checkpoint.strip_plan_stats for the measured blowup
+    cores = strip_plan_stats(cp.truncate(
         vertices.join(deg, "vid", "left").select(
             "vid", F.coalesce("core", F.lit(0)).cast("long").alias("core")
         )
-    )
+    ))
     start_iter, already_done = 0, False
     resumed = cp.resume()
     if resumed is not None:
         state, manifest = resumed
-        cores = cp.truncate(state.select("vid", "core"))
+        cores = strip_plan_stats(cp.truncate(state.select("vid", "core")))
         start_iter = int(manifest["metrics"]["iteration"]) + 1
         already_done = bool(manifest.get("complete"))
 
@@ -139,20 +161,82 @@ def core_number(
     # recomputed only for neighbors-of-last-round's-changed; everyone
     # else keeps their value via the coalesce below. After resume the
     # first round conservatively recomputes everything.
+    n_verts = graph.num_vertices()
     changed_set: DataFrame | None = None
+    n_changed = n_verts
+    prev_cores: DataFrame | None = None
+    # Small-tail overlay: once a round changes only a sliver of vertices
+    # (≤ n/64), the V-row state stops being rewritten every round —
+    # instead changed rows accumulate in a small persisted ``overrides``
+    # table and the effective state is base ⊕ overrides (a left join the
+    # planner serves as a broadcast/streamed overlay). The tail of the
+    # fixpoint (many rounds, each touching a handful of vertices) then
+    # pays NO V-row checkpoint write and NO V-row changed-detection join
+    # per round. Durable-checkpoint runs keep the per-round state write
+    # (that write is the durability contract).
+    overrides: DataFrame | None = None
+    n_overrides = 0
+    overlay_ok = cp.checkpoint_dir is None
+    round_log: list[dict] = []
+
+    def _eff(base: DataFrame, over: DataFrame | None) -> DataFrame:
+        if over is None:
+            return base
+        return base.join(
+            over.select("vid", F.col("core").alias("__oc")), "vid", "left"
+        ).select("vid", F.coalesce("__oc", "core").alias("core"))
+
     for it in range(start_iter, 0 if already_done else max_iterations):
-        if changed_set is None:
+        t_round = time.time()
+        full = changed_set is None or n_changed * 4 >= n_verts
+        overlay_round = (
+            overlay_ok and not full and n_changed * 64 <= n_verts
+        )
+        if overlay_round and n_overrides * 16 > n_verts:
+            # overlay grew past n/16: fold it into a fresh base so the
+            # per-round overlay join stays a cheap broadcast. If the
+            # overlay IS last round's changed frame (first-overlay-round
+            # aliasing), leave its cache for the affected join below —
+            # the round-top guard unpersists it next round.
+            cores = strip_plan_stats(cp.truncate(_eff(cores, overrides)))
+            if overrides is not changed_set:
+                release_local_checkpoint(overrides)
+            overrides, n_overrides = None, 0
+        cur = _eff(cores, overrides)
+        if full:
+            # round 0, or a round where ≥25% of vertices just moved:
+            # the affected-set restriction would touch nearly every
+            # vertex anyway — skip its two joins and recompute all
+            # (identical result: an unaffected vertex's h is unchanged
+            # and least(core, h) == core for it)
             work = nbrs
         else:
+            # neighbors-of-changed read off the vid-partitioned copy via
+            # symmetry: {v : (v,c) ∈ nbrs} == {v : (c,v) ∈ nbrs}
             affected = (
-                nbrs.join(changed_set.select(F.col("vid").alias("nb")), "nb")
-                .select("vid")
+                nbrs.join(changed_set, "vid")
+                .select(F.col("nb").alias("vid"))
                 .distinct()
             )
             work = nbrs.join(affected, "vid")
-        nb_vals = work.join(
-            cores.select(F.col("vid").alias("nb"), F.col("core").alias("nc")), "nb"
-        ).select("vid", "nb", "nc")
+        # Cap each neighbor value at the vertex's OWN current core
+        # before grouping: H(min(nc, cv)) == min(H(nc), cv) and the
+        # update is least(cv, H), so the result is identical while all
+        # neighbor values ≥ cv collapse into ONE group — a hub with
+        # 10^5 neighbors but core 10 feeds ≤11 grouped rows into the
+        # window instead of one per distinct neighbor core. The cv
+        # attach joins on the pre-partitioned vid key (no exchange) and
+        # rides through the aggregate (functionally dependent on vid),
+        # so changed-detection below is a FILTER (h < cv), not a V-row
+        # join against the old state.
+        nb_vals = (
+            work.join(cur.select("vid", F.col("core").alias("cv")), "vid")
+            .join(
+                cur.select(F.col("vid").alias("nb"), F.col("core").alias("nc0")),
+                "nb",
+            )
+            .select("vid", "cv", F.least(F.col("nc0"), F.col("cv")).alias("nc"))
+        )
         # h-index over grouped counts: with distinct neighbor values nc
         # sorted desc and c_ge = cumulative count of neighbor values
         # >= nc, H = max over nc of min(c_ge, nc) (the classic
@@ -162,44 +246,122 @@ def core_number(
         # extra exchange.
         h = (
             nb_vals.groupBy("vid", "nc")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.count("*").alias("cnt"), F.min("cv").alias("cv"))
             .withColumn("c_ge", F.sum("cnt").over(w))
             .groupBy("vid")
-            .agg(F.max(F.least(F.col("c_ge"), F.col("nc"))).alias("h"))
-        )
-        # coalesce(h, core): vertices outside the recomputed set keep
-        # their value; round-0 isolated vertices have core=deg=0 already
-        new_cores = (
-            cores.join(h, "vid", "left")
-            .select(
-                "vid",
-                F.least(F.col("core"), F.coalesce(F.col("h"), F.col("core"))).alias(
-                    "core"
-                ),
+            .agg(
+                F.max(F.least(F.col("c_ge"), F.col("nc"))).alias("h"),
+                F.min("cv").alias("cv"),
             )
         )
-        new_cores = cp.checkpoint(new_cores, IterationMetrics(iteration=it))
-        new_changed = (
-            new_cores.join(cores.select("vid", F.col("core").alias("old")), "vid")
-            .where("core != old")
-            .select("vid")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # exactly the rows whose estimate drops this round. A (lazy)
+        # localCheckpoint, not a bare persist: the frame is consumed by
+        # the NEXT round's logical plan (and by the overlay), and a
+        # cached-but-untruncated plan would re-embed every prior round's
+        # tree — exponential analysis cost. The leaf is materialized by
+        # the count below.
+        new_over = strip_plan_stats(
+            h.where(F.col("h") < F.col("cv"))
+            .select("vid", F.col("h").cast("long").alias("core"))
+            .localCheckpoint(eager=False)
         )
-        n_changed = new_changed.count()
-        if changed_set is not None:
-            changed_set.unpersist()
-        changed_set = new_changed
-        cores = new_cores
-        iterations = it + 1
+        # ONE driver action per round: materializes the round's whole
+        # chain (including any pending lazy base checkpoint) and counts
+        n_changed = new_over.count()
+        # NB: on the round after a first overlay round, changed_set IS
+        # the overlay (aliased below) — its blocks must survive until
+        # the overlay is merged away or folded, so skip the release then
+        if changed_set is not None and changed_set is not overrides:
+            release_local_checkpoint(changed_set)
+        changed_set = new_over
+        # two-rounds-ago base is now fully consumed: free its blocks
+        if prev_cores is not None and prev_cores is not cores:
+            release_local_checkpoint(prev_cores)
+        prev_cores = None
         if n_changed == 0:
+            iterations = it + 1
+            round_log.append(
+                {
+                    "iter": it,
+                    "secs": round(time.time() - t_round, 3),
+                    "changed": 0,
+                    "mode": "overlay" if overrides is not None else "full",
+                }
+            )
             converged = True
+            if overrides is not None:
+                cores = strip_plan_stats(cp.truncate(_eff(cores, overrides)))
+                if overrides is not changed_set:
+                    release_local_checkpoint(overrides)
+                overrides, n_overrides = None, 0
             cp.finalize(it, state=cores)
             break
+        if overlay_round:
+            # fold the new changed rows into the overlay (latest wins)
+            if overrides is None:
+                # first overlay round: the changed rows ARE the overlay
+                # (deliberately the same persisted frame as changed_set;
+                # the unpersist guards above know about the aliasing)
+                overrides = new_over
+            else:
+                merged = strip_plan_stats(new_over.unionByName(
+                    overrides.join(new_over, "vid", "left_anti")
+                ).localCheckpoint(eager=False))
+                merged.count()  # tiny: reads two small checkpointed frames
+                old_over = overrides
+                overrides = merged
+                if old_over is not changed_set:
+                    release_local_checkpoint(old_over)
+            n_overrides += n_changed
+            mode = "overlay"
+        else:
+            # V-row state update from the (small) changed rows only;
+            # lazy lineage cut — the NEXT round's count action (or the
+            # eager fold at exit) materializes it
+            base_src = cur if overrides is not None else cores
+            new_cores = base_src.join(
+                new_over.select("vid", F.col("core").alias("nc2")), "vid", "left"
+            ).select("vid", F.coalesce("nc2", "core").alias("core"))
+            # overlay→state transition must materialize EAGERLY: the new
+            # state's lineage reads the overlay, which is unpersisted
+            # right below
+            new_cores = strip_plan_stats(cp.checkpoint(
+                new_cores, IterationMetrics(iteration=it), lazy=overrides is None
+            ))
+            if overrides is not None:
+                if overrides is not changed_set:
+                    release_local_checkpoint(overrides)
+                overrides, n_overrides = None, 0
+            prev_cores = cores
+            cores = new_cores
+            mode = "full" if full else "active"
+        iterations = it + 1
+        round_log.append(
+            {
+                "iter": it,
+                "secs": round(time.time() - t_round, 3),
+                "changed": n_changed,
+                "mode": mode,
+            }
+        )
+        import os as _os, sys as _sys
+        if _os.environ.get("NXS_KCORE_DEBUG"):
+            print("DBG round", round_log[-1], file=_sys.stderr)
+
+    else:
+        # max_iterations exit: make sure the returned state is
+        # materialized (and overlay folded) before caches are dropped
+        if overrides is not None:
+            cores = strip_plan_stats(cp.truncate(_eff(cores, overrides)))
+            if overrides is not changed_set:
+                release_local_checkpoint(overrides)
+        else:
+            cores = cp.truncate(cores)
     if changed_set is not None:
-        changed_set.unpersist()
+        release_local_checkpoint(changed_set)
     nbrs.unpersist()
     if stats is not None:
-        stats.update(iterations=iterations, converged=converged)
+        stats.update(iterations=iterations, converged=converged, rounds=round_log)
     return cores
 
 

@@ -37,20 +37,63 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "manifest.json"
 
 
+def strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a DataFrame as a fresh LogicalRDD leaf WITHOUT the
+    originating Dataset's propagated statistics.
+
+    Spark preserves the origin's optimized-plan statistics through
+    ``localCheckpoint`` (SPARK-39748). In an iterative loop whose round
+    plan references the checkpointed state more than once, those
+    ``sizeInBytes`` estimates MULTIPLY round over round (two references
+    square them), so after k rounds the stat is a ~140·2^k-bit
+    BigInteger and the driver pins a core in
+    ``BigInteger.multiplyToomCook3`` during every plan analysis —
+    measured on the k-core loop: round wall-clock 1s → 4s → 13s → 154s
+    → driver heap OOM. Rewrapping the same (materialized or pending)
+    RDD via ``internalCreateDataFrame`` resets the leaf to the session
+    default size estimate, which keeps every later round's stats
+    constant-size.
+
+    Caveats: the new leaf loses output-partitioning metadata (consumers
+    that relied on it will re-exchange — use only where the loop
+    re-shuffles the state anyway) and its default size estimate
+    disables static auto-broadcast for joins against it (AQE still
+    converts at runtime from actual sizes).
+    """
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        df._jdf.queryExecution().toRdd(), df._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Best-effort free of a localCheckpoint's cached RDD blocks.
 
     ``Dataset.unpersist()`` cannot release them (the blocks back a
     lineage-truncated RDD, not a CacheManager entry), so this reaches
-    the checkpointed RDD through the analyzed LogicalRDD plan. After a
-    successful release the DataFrame is UNUSABLE (its lineage ends at
-    the freed blocks) — call it only when no later job references the
-    DataFrame or any lazy plan derived from it. Failures are swallowed:
-    worst case the blocks stay cached until context shutdown, which is
-    exactly the pre-release behavior.
+    the checkpointed RDD through the analyzed LogicalRDD plan. A
+    ``strip_plan_stats`` wrapper (or a trailing projection) may sit
+    between the LogicalRDD and the persisted checkpoint RDD, so the
+    first-parent dependency chain is walked until a persisted RDD was
+    unpersisted (bounded depth). After a successful release the
+    DataFrame is UNUSABLE (its lineage ends at the freed blocks) — call
+    it only when no later job references the DataFrame or any lazy plan
+    derived from it. Failures are swallowed: worst case the blocks stay
+    cached until context shutdown, which is exactly the pre-release
+    behavior.
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        for _ in range(8):
+            persisted = rdd.getStorageLevel().isValid()
+            rdd.unpersist(False)
+            if persisted:
+                break
+            deps = rdd.dependencies()
+            if deps.size() == 0:
+                break
+            rdd = deps.apply(0).rdd()
     except Exception:
         pass
 
