@@ -110,16 +110,21 @@ def extract_links(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
-def pages_to_link_pairs(pages):
+def pages_to_link_pairs(pages, dedup: bool = True):
     """pages(url, html, ...) -> DataFrame(src_name, dst_name): one row per
     extracted link, self-links dropped, duplicate links deduplicated
     (simple-graph semantics). Plan: one pandas-UDF projection, one
-    explode -- no shuffle until the id-dictionary join."""
-    return (
+    explode -- no shuffle until the id-dictionary join.
+
+    ``dedup=False`` skips the distinct so a caller that maps names to
+    dense ids can dedup on the (8-byte) id pair instead of the string
+    pair — identical result under a bijective dictionary, ~5x fewer
+    shuffle bytes for the dedup exchange (guide §2.3)."""
+    out = (
         pages.select(
             F.col("url").alias("src_name"),
             F.explode(extract_links(F.col("html"), F.col("url"))).alias("dst_name"),
         )
         .where(F.col("src_name") != F.col("dst_name"))
-        .distinct()
     )
+    return out.distinct() if dedup else out

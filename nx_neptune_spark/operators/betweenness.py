@@ -36,6 +36,7 @@ waves sharing every shuffle.
 
 from __future__ import annotations
 
+import time
 import warnings
 
 from pyspark import StorageLevel
@@ -44,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
 from ..plans.checkpoint import release_local_checkpoint
+from ..session import adaptive_disabled
 from .bfs import _traversal_edges
 
 
@@ -52,6 +54,7 @@ def _forward_levels(
     pivots: DataFrame,
     n_pivots: int,
     max_depth: int | None,
+    stats: dict | None = None,
 ) -> tuple[list[DataFrame], list[int], int]:
     """Batched Brandes forward sweep: per-level (s, vid, sigma) frames.
 
@@ -63,26 +66,36 @@ def _forward_levels(
     consumed level's checkpoint blocks."""
     levels: list[DataFrame] = []
     level_rows: list[int] = []
+    level_log: list[dict] | None = None if stats is None else []
     frontier = pivots.select(
         "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma"),
         F.lit(0).cast("long").alias("npred"),
     ).localCheckpoint(eager=True)
-    visited = frontier.select("s", "vid").persist(StorageLevel.MEMORY_AND_DISK)
     levels.append(frontier)
     level_rows.append(n_pivots)
     depth = 0
     while True:
         if max_depth is not None and depth >= max_depth:
             break
+        t_level = time.time()
+        # visited = lazy union of the (checkpointed) level frames: the
+        # anti-join scans the same Σ|levels| rows a maintained visited
+        # table would, without the per-level persist+count action that
+        # RE-COPIED the whole visited set every level (O(depth ·
+        # Σ levels) cache writes → O(Σ levels) total)
+        visited = levels[0].select("s", "vid")
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv.select("s", "vid"))
         nxt = (
-            edges.join(frontier, edges.src == frontier.vid)
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.vid)
             .groupBy("s", F.col("dst").alias("vid"))
             # npred = BFS-DAG in-degree (load centrality's equal-split
             # denominator); betweenness ignores it
             .agg(F.sum("sigma").alias("sigma"), F.count("*").alias("npred"))
             .join(visited, ["s", "vid"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE action per level: materializes the lazy checkpoint + counts
         n_rows = nxt.count()
         if n_rows == 0:
             release_local_checkpoint(nxt)
@@ -90,16 +103,14 @@ def _forward_levels(
         depth += 1
         levels.append(nxt)
         level_rows.append(n_rows)
-        new_visited = visited.unionByName(nxt.select("s", "vid")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        new_visited.count()
-        visited.unpersist()
-        visited = new_visited
+        if level_log is not None:
+            level_log.append(
+                {"level": depth, "secs": round(time.time() - t_level, 3),
+                 "rows": n_rows}
+            )
         frontier = nxt
-    # the anti-join table is forward-only state: release it before the
-    # backward sweep instead of after (halves the sweep's retained rows)
-    visited.unpersist()
+    if stats is not None and level_log is not None:
+        stats["forward_levels"] = level_log
     return levels, level_rows, depth
 
 
@@ -111,6 +122,7 @@ def betweenness_centrality(
     endpoints: bool = False,
     max_depth: int | None = None,
     stats: dict | None = None,
+    disable_adaptive: bool = True,
 ) -> DataFrame:
     """Return DataFrame(vid long, betweenness double) over ALL vertices
     (zeros included, NetworkX dict parity).
@@ -121,7 +133,20 @@ def betweenness_centrality(
     non-endpoint form — the reference's warn-and-ignore pattern for
     unsupported parameters). ``stats`` receives ``levels`` (forward
     BFS depth) and ``pivots``.
+
+    ``disable_adaptive``: the per-level plans have a statically known
+    shape (pre-partitioned SHJ + small exchanges), so AQE re-planning
+    is pure per-stage latency here — the same trade PageRank makes.
     """
+    with adaptive_disabled(graph.spark, disable_adaptive):
+        return _betweenness_impl(
+            graph, sources, normalized, weight, endpoints, max_depth, stats
+        )
+
+
+def _betweenness_impl(
+    graph, sources, normalized, weight, endpoints, max_depth, stats
+):
     if weight is not None:
         warnings.warn(
             "Parameter `weight` is not supported by betweenness_centrality "
@@ -137,7 +162,17 @@ def betweenness_centrality(
     spark = graph.spark
     vertices = graph.vertices.select("vid")
     n = graph.num_vertices()
-    edges = _traversal_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partitioned on src: every forward level joins frontier⨝edges
+    # on src and every backward level joins level⨝edges on src — one
+    # up-front shuffle of the edge table instead of one per level
+    # (guide §2.4); the shuffle_hash hints below keep the big side
+    # streamed with no per-level sort
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        _traversal_edges(graph)
+        .repartition(npart, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if sources is not None:
         pivots = spark.createDataFrame(
@@ -154,12 +189,16 @@ def betweenness_centrality(
                 stacklevel=2,
             )
 
-    levels, level_rows, depth = _forward_levels(edges, pivots, n_pivots, max_depth)
+    levels, level_rows, depth = _forward_levels(
+        edges, pivots, n_pivots, max_depth, stats=stats
+    )
 
     # ---- backward: dependency accumulation, deepest level first
+    back_log: list[dict] | None = None if stats is None else []
     bc_parts: list[DataFrame] = []
     delta: DataFrame | None = None  # (s, vid, delta) at level l+1
     for lvl in range(depth - 1, -1, -1):
+        t_level = time.time()
         upper = levels[lvl + 1].select(
             F.col("s").alias("us"),
             F.col("vid").alias("w"),
@@ -181,7 +220,7 @@ def betweenness_centrality(
             upper = upper.select("us", "w", "sigma_w", F.lit(0.0).alias("delta_w"))
         cur = levels[lvl]
         contrib = (
-            cur.join(edges, cur.vid == edges.src)
+            cur.hint("shuffle_hash").join(edges, cur.vid == edges.src)
             .join(
                 upper,
                 (F.col("us") == cur.s) & (F.col("w") == edges.dst),
@@ -201,6 +240,12 @@ def betweenness_centrality(
         # its checkpoint blocks now instead of at context shutdown
         release_local_checkpoint(levels[lvl + 1])
         levels[lvl + 1] = None
+        if back_log is not None:
+            back_log.append(
+                {"level": lvl, "secs": round(time.time() - t_level, 3)}
+            )
+    if stats is not None and back_log is not None:
+        stats["backward_levels"] = back_log
     for rest in levels:  # level 0, plus everything when depth == 0
         if rest is not None:
             release_local_checkpoint(rest)
@@ -279,7 +324,12 @@ def edge_betweenness_centrality(
         )
     spark = graph.spark
     n = graph.num_vertices()
-    edges = _traversal_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        _traversal_edges(graph)
+        .repartition(npart, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if sources is not None:
         pivots = spark.createDataFrame(
@@ -323,7 +373,7 @@ def edge_betweenness_centrality(
             upper = upper.select("us", "w", "sigma_w", F.lit(0.0).alias("delta_w"))
         cur = levels[lvl]
         joined = (
-            cur.join(edges, cur.vid == edges.src)
+            cur.hint("shuffle_hash").join(edges, cur.vid == edges.src)
             .join(
                 upper,
                 (F.col("us") == cur.s) & (F.col("w") == edges.dst),

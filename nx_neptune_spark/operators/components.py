@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from ..plans.checkpoint import (
+    CheckpointManager,
+    IterationMetrics,
+    strip_plan_stats,
+)
 
 # Broadcast-finisher bounds (see _star_contraction.broadcast_fix): the
 # violation map collected to the driver is over VIOLATING VERTICES
@@ -311,7 +315,11 @@ def _star_contraction(
                 .distinct()
             )
         metrics = IterationMetrics(iteration=it)
-        new_e = cp.checkpoint(small, metrics, lazy=True)
+        # stats-stripped: each round references e three times (the two
+        # sym legs + round_check), which grows the propagated
+        # sizeInBytes estimate ~3x per round into megabit BigIntegers —
+        # see plans.checkpoint.strip_plan_stats
+        new_e = strip_plan_stats(cp.checkpoint(small, metrics, lazy=True))
         e = new_e
         if it == start_iter == 0 and max_iter > 1:
             # a multi-edge graph never contracts to a star forest in

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.checkpoint import strip_plan_stats
 from ..session import adaptive_disabled
 from .pagerank import PowerIterationFailedConvergence, _hinted
 
@@ -85,7 +86,10 @@ def _eigen_impl(
         links = edges.select("src", "dst", F.col(weight).cast("double").alias("w"))
     else:
         links = edges.select("src", "dst", F.lit(1.0).alias("w"))
-    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partitioned on src: the per-iteration matvec joins on src, so
+    # one up-front shuffle replaces one per iteration (guide §2.4)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = links.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     if nstart is not None:
         if all(v == 0 for v in nstart.values()):
@@ -134,14 +138,23 @@ def _eigen_impl(
     if fixed_iterations is not None:
         if fixed_iterations < 1:
             raise ValueError("fixed_iterations must be >= 1")
-        for _ in range(fixed_iterations):
+        for i in range(fixed_iterations):
             x = step(x).localCheckpoint(eager=False)
+            # periodic stats reset: each step references x TWICE, which
+            # squares the propagated sizeInBytes estimate per iteration
+            # (see plans.checkpoint.strip_plan_stats); stripping every
+            # 8th state bounds it while keeping the vid partitioning on
+            # the other 7
+            if (i + 1) % 8 == 0:
+                x = strip_plan_stats(x)
         converged = True
         iterations = fixed_iterations
     else:
         iterations = 0
         for it in range(max_iter):
             new_x = step(x).localCheckpoint(eager=False)
+            if (it + 1) % 8 == 0:
+                new_x = strip_plan_stats(new_x)
             delta_row = (
                 new_x.select("vid", F.col("s").alias("ns"))
                 .join(x.select("vid", F.col("s").alias("os")), "vid")

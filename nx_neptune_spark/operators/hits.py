@@ -92,7 +92,18 @@ def _hits_impl(
         return vertices.select(
             "vid", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
-    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    # TWO pre-partitioned persisted copies: the authority gather joins
+    # on src, the hub gather on dst — bucketing each copy on its join
+    # key removes both per-iteration edge-table exchanges (guide §2.4;
+    # the storage cost is the standard bucket-both-sides trade)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links_by_src = links.repartition(npart, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    links_by_dst = links.repartition(npart, "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    links = links_by_src
 
     if nstart is not None:
         s = sum(nstart.values())
@@ -115,14 +126,14 @@ def _hits_impl(
         # consumer (PageRank's contribs device). The 1-row max rows are
         # broadcast so each fold-back is a broadcast nested loop.
         a_raw = (
-            links.join(_hinted(h, join_hint), links.src == h.vid)
+            links_by_src.join(_hinted(h, join_hint), links_by_src.src == h.vid)
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("s") * F.col("w")).alias("raw"))
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            links.join(
-                _hinted(a_raw, join_hint), links.dst == a_raw.vid
+            links_by_dst.join(
+                _hinted(a_raw, join_hint), links_by_dst.dst == a_raw.vid
             )
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum(F.col("raw") * F.col("w")).alias("raw2"))
@@ -185,7 +196,8 @@ def _hits_impl(
                 converged = True
                 break
         if not converged:
-            links.unpersist()
+            links_by_src.unpersist()
+            links_by_dst.unpersist()
             raise PowerIterationFailedConvergence(
                 f"HITS failed to converge in {max_iter} iterations"
             )
@@ -206,7 +218,8 @@ def _hits_impl(
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
-    links.unpersist()
+    links_by_src.unpersist()
+    links_by_dst.unpersist()
     if stats is not None:
         stats.update(iterations=iterations, delta=delta, converged=converged)
     return out

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.checkpoint import release_local_checkpoint, strip_plan_stats
 from ..session import adaptive_disabled
 
 
@@ -48,7 +49,7 @@ def shortest_path_lengths(
     source: int,
     weight: str | None = "weight",
     max_iterations: int = 10_000,
-    check_every: int = 1,
+    check_every: int = 4,
     validate_nonnegative: bool = True,
     disable_adaptive: bool = True,
     stats: dict | None = None,
@@ -102,25 +103,32 @@ def _sssp_impl(
                 "pass validate_nonnegative=False to run label-correcting "
                 "Bellman-Ford anyway (no negative cycles allowed)"
             )
-    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partitioned on src: the per-round relaxation join keys on src,
+    # so one up-front shuffle of the edge table replaces one per round
+    # (guide §2.4); the shuffle_hash hint streams the pre-partitioned
+    # links side with no per-round sort
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = links.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     dist = spark.createDataFrame([(int(source), 0.0)], "vid long, distance double")
     dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
     frontier = dist
     rounds, converged = 0, False
     check_every = max(1, int(check_every))
+    prev_final = None
     while rounds < max_iterations and not converged:
         block = min(check_every, max_iterations - rounds)
         # one lazy block of `block` relaxation rounds; distances at
         # fixpoint are invariant under extra rounds, so overshooting
         # inside a block never changes the result
         new_dist, new_frontier = dist, frontier
+        block_frames = []
         for _ in range(block):
             cand = (
                 links.join(
                     new_frontier.select(
                         F.col("vid").alias("src"), F.col("distance").alias("d")
-                    ),
+                    ).hint("shuffle_hash"),
                     "src",
                 )
                 .groupBy(F.col("dst").alias("vid"))
@@ -144,21 +152,32 @@ def _sssp_impl(
                 )
                 .localCheckpoint(eager=False)
             )
+            block_frames.append(merged)
+            if len(block_frames) == block:
+                # stats reset once per block: merged is referenced TWICE
+                # per round (next dist + frontier), which squares the
+                # propagated sizeInBytes estimate — see
+                # plans.checkpoint.strip_plan_stats. Stripping only the
+                # block's last frame bounds the growth while keeping the
+                # vid partitioning within the block.
+                merged = strip_plan_stats(merged)
             new_frontier = merged.where("improved").select("vid", "distance")
             new_dist = merged.select("vid", "distance")
-        new_dist = new_dist.persist(StorageLevel.MEMORY_AND_DISK)
-        new_frontier = new_frontier.persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE action per block: materializes every pending checkpoint in
+        # the block's chain and probes frontier emptiness
         n_improved = new_frontier.limit(1).count()
-        dist.unpersist()
-        frontier.unpersist()
+        # intra-block intermediates are fully consumed by the final
+        # frame's materialization: free their blocks now
+        for fr in block_frames[:-1]:
+            release_local_checkpoint(fr)
+        if prev_final is not None:
+            release_local_checkpoint(prev_final)
+        prev_final = block_frames[-1] if block_frames else None
         dist, frontier = new_dist, new_frontier
         rounds += block
         if n_improved == 0:
             converged = True
-    frontier.unpersist()
     links.unpersist()
     if stats is not None:
         stats.update(rounds=rounds, converged=converged)
-    out = dist.select("vid", "distance")
-    dist.unpersist()
-    return out
+    return dist.select("vid", "distance")
