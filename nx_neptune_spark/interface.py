@@ -1434,6 +1434,15 @@ class BackendInterface:
             raise nx.NetworkXNotImplemented(
                 "bridges is not implemented for directed graphs"
             )
+        if G.is_multigraph():
+            # LinkGraph.from_networkx flattens parallel edges, so an
+            # edge with multiplicity > 1 would be reported as a bridge
+            # where nx correctly excludes it — refuse so nx falls back
+            # (same guard onion_layers and the projections use)
+            raise nx.NetworkXNotImplemented(
+                "bridges on multigraphs is not implemented by the spark "
+                "backend (parallel edges would be flattened)"
+            )
         if root is None:
             return G
         if root not in G:
@@ -1462,6 +1471,11 @@ class BackendInterface:
             raise nx.NetworkXNotImplemented(
                 "local_bridges is not implemented for directed graphs"
             )
+        if G.is_multigraph():
+            raise nx.NetworkXNotImplemented(
+                "local_bridges on multigraphs is not implemented by the "
+                "spark backend (parallel edges would be flattened)"
+            )
         if weight is not None:
             raise nx.NetworkXNotImplemented(
                 "weighted local-bridge spans are not implemented by the "
@@ -1488,6 +1502,13 @@ class BackendInterface:
             )
         if k < 1:
             raise ValueError("k cannot be less than 1")
+        if G.is_multigraph() and k == 2:
+            # the k=2 path subtracts bridges, and parallel edges are
+            # flattened by LinkGraph.from_networkx (see _bridge_scope)
+            raise nx.NetworkXNotImplemented(
+                "k_edge_components(k=2) on multigraphs is not implemented "
+                "by the spark backend (parallel edges would be flattened)"
+            )
         back = _back(G)
         if k == 1:
             for comp in api.connected_components(_lg(G)):
@@ -1520,11 +1541,12 @@ class BackendInterface:
     def percolation_centrality(
         G, attribute="percolation", states=None, weight=None, **kw
     ):
-        # nx: states dict wins; else the node attribute (KeyError on a
-        # missing node, nx's own contract surfaced by the comprehension)
+        # nx: states dict wins; else the node attribute with default=1
+        # (nx 3.6 uses nx.get_node_attributes(G, attribute, default=1),
+        # so the documented no-attributes call degrades to betweenness
+        # instead of raising KeyError)
         if states is None:
-            attrs = {n: d for n, d in G.nodes(data=True)}
-            states = {n: attrs[n][attribute] for n in G.nodes}
+            states = {n: G.nodes[n].get(attribute, 1) for n in G.nodes}
         back = _back(G)
         named = {str(n): float(states[n]) for n in G.nodes}
         return {
@@ -1610,6 +1632,16 @@ class BackendInterface:
             raise nx.NodeNotFound(f"Source node {source} not in G")
         if target is not None and target not in G:
             raise nx.NodeNotFound(f"Target node {target} not in G")
+        if any(d.get("weight", 1) != 1 for _, _, d in G.edges(data=True)):
+            # nx 3.6's numpy implementation column-normalizes the
+            # WEIGHTED adjacency (to_numpy_array honors 'weight'); the
+            # operator uses unweighted distinct in-neighbor sets, which
+            # silently diverges — refuse so nx falls back
+            raise nx.NetworkXNotImplemented(
+                "simrank_similarity on weighted graphs is not implemented "
+                "by the spark backend (unweighted in-neighbor sets would "
+                "silently diverge from nx's weighted normalization)"
+            )
         back = _back(G)
         try:
             dense = api.simrank_similarity_dict(
@@ -1687,8 +1719,13 @@ class BackendInterface:
         H = G.__class__()
         H.graph.update(G.graph)
         H.add_nodes_from(G.nodes(data=True))
+        # nx starts from G.copy(), so data on pre-existing edges
+        # survives in the closure; add originals (with attrs) first —
+        # closure pairs that already exist are then no-ops attr-wise
+        H.add_edges_from(G.edges(data=True))
         for a, b in api.transitive_closure_pairs(_lg(G), reflexive=reflexive):
-            H.add_edge(back[a], back[b])
+            if not H.has_edge(back[a], back[b]):
+                H.add_edge(back[a], back[b])
         return H
 
     @staticmethod
@@ -1726,6 +1763,28 @@ class BackendInterface:
                 "dispersion is not implemented for directed graphs by the "
                 "spark backend"
             )
+        if u is not None and v is not None:
+            # nx computes _dispersion(G, u, v) for ARBITRARY pairs (the
+            # common-neighbor spread of a non-adjacent pair is the
+            # link-prediction use case), while the operator's table only
+            # covers adjacent pairs. Mirror nx's single-pair witness
+            # test locally — an ego-scale computation, same formula.
+            from itertools import combinations
+
+            u_nbrs = set(G[u])
+            st = {n for n in G[v] if n in u_nbrs}
+            set_uv = {u, v}
+            total = 0
+            for s, t in combinations(st, 2):
+                nbrs_s = u_nbrs.intersection(G[s]) - set_uv
+                if t not in nbrs_s and nbrs_s.isdisjoint(G[t]):
+                    total += 1
+            val: float | int = total
+            if normalized:
+                val = (total + b) ** alpha
+                if len(st) + c != 0:
+                    val /= len(st) + c
+            return val
         back = _back(G)
         table = api.dispersion_table(
             _lg(G), normalized=normalized, alpha=alpha, b=b, c=c
@@ -1738,9 +1797,7 @@ class BackendInterface:
         if u is None:
             # nx: for v specified, results[u] = dispersion(v, u)
             return {uu: full[v][uu] for uu in G[v]}
-        if v is None:
-            return dict(full[u])
-        return full[u][v]
+        return dict(full[u])
 
     @staticmethod
     def girvan_newman(G, most_valuable_edge=None, **kw):

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 from ..graph import LinkGraph
 from ..plans.checkpoint import CheckpointManager
 
+# Above this out-degree the elected vertex's neighbor set is no longer
+# broadcast for the ability update: a super-hub winner on a real crawl
+# has 1e7-1e8 out-neighbors, and a degree-sized broadcast is a driver
+# collect + per-executor copy of the whole neighborhood. Past the
+# threshold the update runs as a plain keyed join instead (abilities is
+# V rows either way). 2M rows of (vid, bool) ~ 32 MB framed — safely
+# inside broadcast limits, far below driver pressure.
+BROADCAST_MAX_DEGREE = 2_000_000
+
 
 def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> DataFrame:
     """``nx.voterank`` parity: DataFrame(rank int, vid long) of the
@@ -71,7 +80,11 @@ def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> DataFrame:
                 "dst",
             )
             .groupBy(F.col("src").alias("vid"))
-            .agg(F.sum("ab").alias("score"))
+            # abilities always carries all V rows (silenced vertices keep
+            # a 0.0 row), so the inner join preserves every edge and
+            # count(*) is the voter's exact (out-)degree — computed for
+            # free inside the same map-side-combined aggregate.
+            .agg(F.sum("ab").alias("score"), F.count(F.lit(1)).alias("deg"))
         )
         if elected:
             silenced = spark.createDataFrame(
@@ -87,13 +100,19 @@ def voterank(graph: LinkGraph, number_of_nodes: int | None = None) -> DataFrame:
         if not top:
             break
         winner = int(top[0]["vid"])
+        winner_deg = int(top[0]["deg"])
         elected.append(winner)
-        # weaken the winner's (out-)neighbors, silence the winner
+        # weaken the winner's (out-)neighbors, silence the winner;
+        # broadcast the neighbor set only while it is provably small
+        # (hub winners fall back to a plain keyed join — see
+        # BROADCAST_MAX_DEGREE above)
         nbrs = edges.where(F.col("src") == winner).select(
             F.col("dst").alias("vid"), F.lit(True).alias("is_nbr")
         )
+        if winner_deg <= BROADCAST_MAX_DEGREE:
+            nbrs = F.broadcast(nbrs)
         abilities = cp.truncate(
-            abilities.join(F.broadcast(nbrs), "vid", "left").select(
+            abilities.join(nbrs, "vid", "left").select(
                 "vid",
                 F.when(F.col("vid") == winner, F.lit(0.0))
                 .when(

@@ -576,3 +576,76 @@ def test_generalized_degree_dispatch(spark):
     assert dict(nx.generalized_degree(g, nodes="C", backend="spark")) == dict(
         nx.generalized_degree(g, nodes="C")
     )
+
+
+def test_percolation_default_states_dispatch(spark):
+    # ADVICE r5: no attributes set -> nx 3.6 default=1 (equivalent to
+    # betweenness), must not raise KeyError
+    g = nx.path_graph(5)
+    got = nx.percolation_centrality(g, backend="spark")
+    want = nx.percolation_centrality(g)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9)
+
+
+def test_dispersion_nonadjacent_pair_dispatch(spark):
+    # ADVICE r5: explicit (u, v) works for NON-adjacent pairs too
+    g = nx.Graph([(0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4), (1, 4)])
+    assert not g.has_edge(0, 1)
+    assert nx.dispersion(g, u=0, v=1, backend="spark") == nx.dispersion(g, u=0, v=1)
+    # adjacent explicit pair still agrees
+    assert nx.dispersion(g, u=2, v=3, backend="spark") == nx.dispersion(g, u=2, v=3)
+    assert nx.dispersion(
+        g, u=0, v=1, normalized=False, backend="spark"
+    ) == nx.dispersion(g, u=0, v=1, normalized=False)
+
+
+def test_bridges_multigraph_refused(spark):
+    # ADVICE r5: parallel edges flattened -> backend must refuse (under
+    # priority-based dispatch nx then falls back to its multigraph-aware
+    # implementation; with explicit backend= the refusal surfaces)
+    g = nx.MultiGraph()
+    g.add_edges_from([(0, 1), (0, 1), (1, 2)])
+    with pytest.raises(nx.NetworkXNotImplemented):
+        list(nx.bridges(g, backend="spark"))
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.has_bridges(g, backend="spark")
+    with pytest.raises(nx.NetworkXNotImplemented):
+        list(nx.local_bridges(g, backend="spark"))
+    with pytest.raises(nx.NetworkXNotImplemented):
+        list(nx.k_edge_components(g, 2, backend="spark"))
+    # native nx correctly excludes the multiplicity-2 edge
+    assert {frozenset(e) for e in nx.bridges(g)} == {frozenset((1, 2))}
+
+
+def test_transitive_closure_keeps_edge_attrs(spark):
+    # ADVICE r5: data on pre-existing edges survives (nx copies G)
+    g = nx.DiGraph()
+    g.add_edge(0, 1, weight=7, label="x")
+    g.add_edge(1, 2, weight=9)
+    got = nx.transitive_closure(g, backend="spark")
+    want = nx.transitive_closure(g)
+    assert set(got.edges) == set(want.edges)
+    assert got.edges[0, 1]["weight"] == 7 and got.edges[0, 1]["label"] == "x"
+    assert got.edges[1, 2]["weight"] == 9
+    assert got.edges[0, 2] == want.edges[0, 2] == {}
+
+
+def test_simrank_weighted_refused(spark):
+    # ADVICE r5: weighted graphs diverge from nx's weighted
+    # normalization -> backend refuses rather than silently diverging
+    g = nx.DiGraph()
+    g.add_edge(0, 2, weight=3.0)
+    g.add_edge(1, 2, weight=1.0)
+    g.add_edge(2, 0)
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.simrank_similarity(g, backend="spark")
+    # weight attrs that are all 1 are harmless and still dispatch
+    h = nx.DiGraph()
+    h.add_edge(0, 1, weight=1)
+    h.add_edge(1, 0)
+    got = nx.simrank_similarity(h, backend="spark")
+    want = nx.simrank_similarity(h)
+    for a in want:
+        for b in want[a]:
+            assert math.isclose(got[a][b], want[a][b], rel_tol=0, abs_tol=1e-9)

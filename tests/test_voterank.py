@@ -52,6 +52,20 @@ def test_empty_and_edgeless(spark):
     assert spark_voterank(spark, g) == nx_voterank(g) == []
 
 
+def test_hub_winner_no_broadcast(spark, monkeypatch):
+    # one vertex owning ~10% of edges: above a (patched) broadcast
+    # threshold the ability update must run as a plain keyed join and
+    # still elect the same seeds as nx
+    import importlib
+
+    vr = importlib.import_module("nx_neptune_spark.operators.voterank")
+    monkeypatch.setattr(vr, "BROADCAST_MAX_DEGREE", 3)
+    g = nx.star_graph(40)  # hub 0 with degree 40
+    g.add_edges_from((i, i + 1) for i in range(1, 39))
+    g = nx.relabel_nodes(g, lambda i: f"{i:03d}", copy=True)
+    assert spark_voterank(spark, g, k=5) == nx_voterank(g, k=5)
+
+
 def test_dispatch(spark):
     import nx_neptune_spark
 
