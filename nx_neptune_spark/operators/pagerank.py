@@ -437,6 +437,15 @@ def _pagerank_impl(
                     ranks = ranks.localCheckpoint(eager=False)
                 prev = ranks
                 ranks = step(ranks)
+                # same mid-chain lineage truncation the fixed-depth path
+                # uses: analysis cost grows superlinearly with lazy chain
+                # depth, and the measured win of an eager truncate every
+                # TRUNCATE_EVERY iterations exceeds its one extra action
+                # (values unchanged — a checkpoint materializes the same
+                # rows, so the block delta and stop decision are
+                # bit-identical)
+                if (i - it + 1) % TRUNCATE_EVERY == 0 and i < block_end - 2:
+                    ranks = cp.truncate(ranks)
             ranks = ranks.localCheckpoint(eager=False)
             delta = float(
                 ranks.join(prev.select("vid", F.col("rank").alias("__old")), "vid")

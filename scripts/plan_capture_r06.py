@@ -118,6 +118,12 @@ from nx_neptune_spark.operators.sssp import shortest_path_lengths  # noqa: E402
 from nx_neptune_spark.operators.voterank import voterank  # noqa: E402
 
 run("pagerank_10iter", lambda: pagerank(g, fixed_iterations=10))
+run(
+    "pagerank_converged",
+    lambda: pagerank(
+        g, tol=1e-6 / max(g.num_vertices(), 1), max_iter=200, check_every=10
+    ),
+)
 run("hits_5iter", lambda: hits(g, fixed_iterations=5))
 run("eigenvector_10iter", lambda: eigenvector_centrality(g, fixed_iterations=10))
 run("connected_components", lambda: connected_components(g))
