@@ -66,15 +66,14 @@ HUB_MIN_DEGREE = 10_000
 HUB_IDEAL_MULTIPLE = 16
 HUB_MAX_KEYS = 256
 
-# Lineage-truncation cadence of the lazy fixed-depth loop: every k
-# iterations the ranks frame gets an EAGER localCheckpoint (a blocking
-# driver action mid-run). The per-iteration contribs frames already
-# carry lazy localCheckpoints, so the logical plan stays linear in
-# depth either way; the eager cut only bounds the ANALYZED plan depth
-# of the final action. Serial-fraction probe (scripts/
-# serial_fraction_ab.py, W~0 graph at local[2]): cadence is a pure
-# serial-latency trade — measured per-run overhead vs depth recorded
-# in BENCH/BASELINE.md. Env-tunable for the probe harness.
+# Historical knob (round 6 made it inert in the hot loops): the lazy
+# fixed-depth loop used an EAGER localCheckpoint every k iterations to
+# bound analyzed plan depth; a measured A/B (round 6, 1M pages,
+# bit-identical rank sums) showed a per-iteration LAZY localCheckpoint
+# — the plan roots at a LogicalRDD immediately, zero extra driver
+# actions — beats every eager cadence, so both the fixed-depth and
+# blocked loops now checkpoint lazily each iteration. Kept for the
+# serial-fraction probe harness (scripts/serial_fraction_ab.py).
 TRUNCATE_EVERY = int(os.environ.get("NXS_PR_TRUNCATE_EVERY", "5"))
 
 
@@ -364,8 +363,8 @@ def _pagerank_impl(
                 # D_t == 0 bit-exactly: the rank update collapses to
                 # alpha*contrib + (1-alpha)*p -- no danglesum aggregate,
                 # no scalar broadcast, no second consumer of contribs
-                # (so no lineage fork to checkpoint; the eager truncate
-                # in the loop bounds analyzed depth).
+                # (so no lineage fork to checkpoint; the loop's
+                # per-iteration lazy checkpoint bounds analyzed depth).
                 return (
                     meta.join(contribs, meta.vid == contribs.dst, "left")
                     .select(
@@ -405,9 +404,15 @@ def _pagerank_impl(
 
         if lazy_ok:
             for it in range(start_iter, limit):
-                ranks = step(ranks)
-                if (it + 1) % TRUNCATE_EVERY == 0 and it != limit - 1:
-                    ranks = cp.truncate(ranks)
+                # Per-iteration LAZY checkpoint (eigenvector/HITS cadence,
+                # measured best here too): the logical plan roots at a
+                # LogicalRDD immediately — analysis stays O(1) per
+                # iteration instead of superlinear in chain depth — while
+                # materialization still happens inside the single job
+                # (zero extra driver actions; the old eager truncate every
+                # TRUNCATE_EVERY both split the job and analyzed 5-deep
+                # chains). V-row cache per iteration, same as eigenvector.
+                ranks = step(ranks).localCheckpoint(eager=False)
             out = ranks.select("vid", "rank").localCheckpoint(eager=True)
             lz_links.unpersist()
             out_w.unpersist()
@@ -430,22 +435,12 @@ def _pagerank_impl(
             block_end = min(it + check_every, max_iter)
             prev = ranks
             for i in range(it, block_end):
-                if i == block_end - 1:
-                    # lazy-checkpoint the block's second-to-last state so
-                    # the delta join below reads it from cache instead of
-                    # re-running its projection join as a second subtree
-                    ranks = ranks.localCheckpoint(eager=False)
                 prev = ranks
-                ranks = step(ranks)
-                # same mid-chain lineage truncation the fixed-depth path
-                # uses: analysis cost grows superlinearly with lazy chain
-                # depth, and the measured win of an eager truncate every
-                # TRUNCATE_EVERY iterations exceeds its one extra action
-                # (values unchanged — a checkpoint materializes the same
-                # rows, so the block delta and stop decision are
-                # bit-identical)
-                if (i - it + 1) % TRUNCATE_EVERY == 0 and i < block_end - 2:
-                    ranks = cp.truncate(ranks)
+                # same per-iteration lazy checkpoint as the fixed-depth
+                # path (analysis O(1) per iteration, one materialization
+                # job per block); the block's delta join reads prev and
+                # ranks straight from their checkpoint caches
+                ranks = step(ranks).localCheckpoint(eager=False)
             ranks = ranks.localCheckpoint(eager=False)
             delta = float(
                 ranks.join(prev.select("vid", F.col("rank").alias("__old")), "vid")
