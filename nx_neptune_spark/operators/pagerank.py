@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from ..graph import LinkGraph
-from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from ..plans.checkpoint import (
+    CheckpointManager,
+    IterationMetrics,
+    release_local_checkpoint,
+)
 from ..plans.skew import salted_sum
 from ..session import adaptive_disabled
 
@@ -66,14 +70,15 @@ HUB_MIN_DEGREE = 10_000
 HUB_IDEAL_MULTIPLE = 16
 HUB_MAX_KEYS = 256
 
-# Historical knob (round 6 made it inert in the hot loops): the lazy
-# fixed-depth loop used an EAGER localCheckpoint every k iterations to
-# bound analyzed plan depth; a measured A/B (round 6, 1M pages,
-# bit-identical rank sums) showed a per-iteration LAZY localCheckpoint
-# — the plan roots at a LogicalRDD immediately, zero extra driver
-# actions — beats every eager cadence, so both the fixed-depth and
-# blocked loops now checkpoint lazily each iteration. Kept for the
-# serial-fraction probe harness (scripts/serial_fraction_ab.py).
+# Lineage-truncation cadence of the lazy FIXED-DEPTH loop: every k
+# iterations the ranks frame gets an EAGER localCheckpoint bounding the
+# analyzed plan depth. (The blocked tol loop instead lazy-checkpoints
+# every iteration with serialized storage + explicit release — measured
+# 2.6x there; the same cadence in the fixed loop traded a ~2 s gain at
+# 1M vertices for ~15% at the 27M-edge weak-scaling pair and heap OOMs
+# at local[32], so the fixed loop keeps the eager cadence. Round-6
+# A/Bs, BENCH/BASELINE.md.) Env-tunable for the probe harness
+# (scripts/serial_fraction_ab.py).
 TRUNCATE_EVERY = int(os.environ.get("NXS_PR_TRUNCATE_EVERY", "5"))
 
 
@@ -403,16 +408,20 @@ def _pagerank_impl(
             )
 
         if lazy_ok:
+            # Fixed-depth mode keeps the round-5 shape: raw lazy chains
+            # with an eager truncate every TRUNCATE_EVERY iterations and
+            # NO per-iteration state caching. A round-6 A/B of
+            # per-iteration lazy checkpoints here won ~2 s per 10
+            # iterations at 1M vertices but cost ~15% at the
+            # memory-bandwidth-bound 27M-edge weak-scaling pair (extra
+            # serialization + cache traffic; deserialized variants OOM'd
+            # the 8g heap outright at local[32]) — the blocked tol loop
+            # below, where the same cadence wins 2.6x, keeps it with
+            # serialized, explicitly released intermediates instead.
             for it in range(start_iter, limit):
-                # Per-iteration LAZY checkpoint (eigenvector/HITS cadence,
-                # measured best here too): the logical plan roots at a
-                # LogicalRDD immediately — analysis stays O(1) per
-                # iteration instead of superlinear in chain depth — while
-                # materialization still happens inside the single job
-                # (zero extra driver actions; the old eager truncate every
-                # TRUNCATE_EVERY both split the job and analyzed 5-deep
-                # chains). V-row cache per iteration, same as eigenvector.
-                ranks = step(ranks).localCheckpoint(eager=False)
+                ranks = step(ranks)
+                if (it + 1) % TRUNCATE_EVERY == 0 and it != limit - 1:
+                    ranks = cp.truncate(ranks)
             out = ranks.select("vid", "rank").localCheckpoint(eager=True)
             lz_links.unpersist()
             out_w.unpersist()
@@ -433,20 +442,35 @@ def _pagerank_impl(
         delta = None
         while it < max_iter and not converged:
             block_end = min(it + check_every, max_iter)
+            # Per-iteration LAZY checkpoint (round-6 A/B: 40.7 -> 14-18 s
+            # on the 20-iteration tol run at 1M pages, bit-identical
+            # delta/rank sums): the plan roots at a LogicalRDD
+            # immediately so analysis stays O(1) per iteration, with one
+            # materialization job per block. SERIALIZED storage keeps a
+            # block's live frames compact (deserialized intermediates
+            # OOM'd an 8g heap at 6M vertices), and ``carried`` (the
+            # state the block started from) plus the block's
+            # intermediates are explicitly released once the delta
+            # action has materialized everything — only the block's
+            # final state stays cached for the next block.
+            carried = ranks
             prev = ranks
+            pending = []
             for i in range(it, block_end):
                 prev = ranks
-                # same per-iteration lazy checkpoint as the fixed-depth
-                # path (analysis O(1) per iteration, one materialization
-                # job per block); the block's delta join reads prev and
-                # ranks straight from their checkpoint caches
-                ranks = step(ranks).localCheckpoint(eager=False)
-            ranks = ranks.localCheckpoint(eager=False)
+                ranks = step(ranks).localCheckpoint(
+                    eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
+                pending.append(ranks)
             delta = float(
                 ranks.join(prev.select("vid", F.col("rank").alias("__old")), "vid")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("delta"))
                 .first()["delta"]
             )
+            for f in pending[:-1]:
+                release_local_checkpoint(f)
+            if it > start_iter:
+                release_local_checkpoint(carried)
             last_it = block_end - 1
             metrics = IterationMetrics(iteration=last_it, delta=delta)
             metrics.extra["check_every"] = check_every
